@@ -1,0 +1,92 @@
+"""Synthetic WeChat-shaped data for tests and benchmarks.
+
+Generates batches with the exact shapes/dtypes the real pipeline produces
+(see features/schema.py batch_spec) and with a learnable planted signal so
+integration tests can assert "the model learns" (AUC rises well above 0.5)
+without shipping the real dataset.
+
+The planted structure loosely mirrors the real data's statistics: dense
+features are log1p of count-like draws (reference DataGenerator.py:374-377),
+ids are Zipf-distributed, sequence lengths are skewed short, and the label
+depends on a random linear function of a few dense features plus per-user and
+per-feed logit offsets — so both the dense tower and the embedding tables
+carry signal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from recalgorithm_tpu.features.schema import Schema
+
+
+@dataclasses.dataclass
+class SyntheticConfig:
+    seed: int = 0
+    # Shrink vocabularies for tests; None keeps the schema's sizes.
+    vocab_scale: float | None = None
+
+
+class SyntheticWeChat:
+    """Deterministic synthetic sample stream with a planted CTR signal."""
+
+    def __init__(self, schema: Schema, config: SyntheticConfig | None = None):
+        self.schema = schema
+        self.config = config or SyntheticConfig()
+        rng = np.random.default_rng(self.config.seed)
+        self._sizes = dict(schema.vocab_sizes)
+        if self.config.vocab_scale is not None:
+            self._sizes = {
+                k: max(2, int(v * self.config.vocab_scale)) for k, v in self._sizes.items()
+            }
+        n_dense = len(schema.dense)
+        self._dense_w = rng.normal(size=(n_dense,)) * np.where(
+            np.arange(n_dense) < 4, 1.0, 0.1
+        )
+        self._user_bias = rng.normal(size=(self._sizes["userid"] + 1,)) * 0.8
+        self._feed_bias = rng.normal(size=(self._sizes["feedid"] + 1,)) * 0.8
+        self._label_w = rng.normal(size=(len(schema.labels),)) * 0.5 + 1.0
+
+    def vocab_sizes(self) -> dict[str, int]:
+        return dict(self._sizes)
+
+    def _zipf_ids(self, rng: np.random.Generator, size, vocab: str) -> np.ndarray:
+        n = self._sizes[vocab]
+        # Zipf-ish via exponentiated uniform; ids in [1, n].
+        u = rng.random(size)
+        ids = np.floor(n * u**2.0).astype(np.int32) + 1
+        return np.minimum(ids, n)
+
+    def batch(self, batch_size: int, seed: int) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.config.seed, seed))
+        s = self.schema
+        out: dict[str, np.ndarray] = {}
+        counts = rng.poisson(lam=3.0, size=(batch_size, len(s.dense)))
+        out["dense"] = np.log1p(counts).astype(np.float32)
+        for f in s.categorical:
+            out[f.name] = self._zipf_ids(rng, (batch_size,), f.vocab)
+        for f in s.sequence:
+            lengths = np.minimum(
+                rng.geometric(p=0.15, size=(batch_size,)), f.max_length
+            ).astype(np.int32)
+            ids = self._zipf_ids(rng, (batch_size, f.max_length), f.vocab)
+            mask = np.arange(f.max_length)[None, :] < lengths[:, None]
+            out[f.name] = np.where(mask, ids, 0).astype(np.int32)
+            out[f.name + "_len"] = lengths
+        logit = (
+            out["dense"] @ self._dense_w
+            + self._user_bias[out["userid"]]
+            + self._feed_bias[out["feedid"]]
+            - 2.5
+        )
+        p = 1.0 / (1.0 + np.exp(-logit[:, None] * self._label_w[None, :]))
+        out["labels"] = (rng.random((batch_size, len(s.labels))) < p).astype(np.float32)
+        return out
+
+    def batches(self, batch_size: int, num_batches: int, start_seed: int = 0
+                ) -> Iterator[dict[str, np.ndarray]]:
+        for i in range(num_batches):
+            yield self.batch(batch_size, start_seed + i)

@@ -1,0 +1,139 @@
+"""Embedding engine: unified table store + lookups with TF-parity combiners.
+
+Replaces the reference's ``tf.feature_column`` embedding machinery
+(``fc.embedding_column`` / ``fc.shared_embedding_columns`` /
+``safe_embedding_lookup_sparse``, reference wide_and_deep.py:108-118,
+ffm.py:128-160) with an explicit table store designed for TPU:
+
+  * each table is one dense ``(vocab_size + 1, dim)`` array — row 0 is the
+    PAD/OOV row, always zero in effect (outputs are masked on ``id == 0`` so
+    row 0 receives no gradient, matching TF's safe_embedding_lookup which
+    zero-fills OOV/-1 ids),
+  * shared embeddings (feedid <-> behaviour sequence) are expressed by two
+    fields referencing one table name,
+  * combiners: ``mean`` / ``sum`` over the valid prefix of a padded sequence,
+    matching ``combiner='mean'`` semantics incl. zero-length rows -> zeros,
+  * tables carry sharding metadata: rows are sharded over the mesh's
+    ``data``/embedding axis via `flax.linen.with_partitioning`; under pjit
+    the XLA SPMD partitioner turns the gathers into collectives.  A
+    hand-optimised shard_map all-to-all lookup lives in embed/sharded.py.
+
+Initializer parity: TF's ``embedding_column`` default is
+``truncated_normal(stddev=1/sqrt(dim))``; we use the same.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class TableSpec:
+    """One embedding table: ``vocab_size`` real rows + 1 PAD/OOV row."""
+
+    name: str
+    vocab_size: int
+    dim: int
+
+    @property
+    def num_rows(self) -> int:
+        return self.vocab_size + 1
+
+
+def _table_init(dim: int):
+    stddev = 1.0 / (dim**0.5)
+    return nn.initializers.truncated_normal(stddev=stddev)
+
+
+class EmbeddingCollection(nn.Module):
+    """All embedding tables of one model, with named-axis sharding metadata.
+
+    Attributes:
+      tables: table specs, keyed by table name.
+      shard_axis: mesh axis name the vocabulary (row) dimension is sharded
+        over, or None for replicated tables.  Row-sharding over the data axis
+        is the classic recommender layout: tables are memory-heavy and
+        lookups become all-to-alls over ICI.
+    """
+
+    tables: Mapping[str, TableSpec]
+    shard_axis: str | None = None
+
+    def setup(self):
+        params = {}
+        for name, spec in self.tables.items():
+            init = _table_init(spec.dim)
+            if self.shard_axis is not None:
+                init = nn.with_partitioning(init, (self.shard_axis, None))
+            params[name] = self.param(name, init, (spec.num_rows, spec.dim))
+        self._params = params
+
+    def table(self, name: str) -> jax.Array:
+        return self._params[name]
+
+    def embed_scalar(self, table: str, ids: jax.Array) -> jax.Array:
+        """(B,) int ids -> (B, dim); id 0 (PAD/OOV) -> zero vector.
+
+        mode='clip' keeps out-of-range ids (corrupt input / stale vocab)
+        deterministic and NaN-free both under jit and eagerly.
+        """
+        emb = jnp.take(self._params[table], ids, axis=0, mode="clip")
+        return emb * (ids > 0)[:, None].astype(emb.dtype)
+
+    def embed_sequence(self, table: str, ids: jax.Array) -> jax.Array:
+        """(B, T) padded ids -> (B, T, dim) with zero rows at PAD positions."""
+        emb = jnp.take(self._params[table], ids, axis=0, mode="clip")
+        return emb * (ids > 0)[..., None].astype(emb.dtype)
+
+    def embed_pooled(
+        self,
+        table: str,
+        ids: jax.Array,
+        combiner: str = "mean",
+    ) -> jax.Array:
+        """(B, T) padded ids -> (B, dim) pooled over valid (id > 0) positions.
+
+        Matches TF's sparse combiners (mean = sum / count of valid ids;
+        all-padding rows -> zeros rather than NaN).
+        """
+        emb = self.embed_sequence(table, ids)  # PAD rows already zeroed
+        total = jnp.sum(emb, axis=1)
+        if combiner == "sum":
+            return total
+        if combiner == "mean":
+            count = jnp.sum((ids > 0).astype(total.dtype), axis=1, keepdims=True)
+            return total / jnp.maximum(count, 1.0)
+        if combiner == "sqrtn":
+            count = jnp.sum((ids > 0).astype(total.dtype), axis=1, keepdims=True)
+            return total / jnp.sqrt(jnp.maximum(count, 1.0))
+        raise ValueError(f"unknown combiner: {combiner!r}")
+
+
+def tables_for_fields(
+    field_dims: Mapping[str, int],
+    field_to_vocab: Mapping[str, str],
+    vocab_sizes: Mapping[str, int],
+) -> dict[str, TableSpec]:
+    """Build table specs from per-field dims, merging fields that share a vocab.
+
+    Fields mapping to the same vocab name share one table (must agree on dim),
+    reproducing ``fc.shared_embedding_columns`` (reference
+    wide_and_deep.py:109).
+    """
+    specs: dict[str, TableSpec] = {}
+    for field, dim in field_dims.items():
+        vocab = field_to_vocab[field]
+        if vocab in specs:
+            if specs[vocab].dim != dim:
+                raise ValueError(
+                    f"fields sharing vocab {vocab!r} disagree on dim: "
+                    f"{specs[vocab].dim} vs {dim}"
+                )
+            continue
+        specs[vocab] = TableSpec(vocab, vocab_sizes[vocab], dim)
+    return specs

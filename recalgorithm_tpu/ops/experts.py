@@ -1,0 +1,111 @@
+"""Multi-task expert mixing: MMOE gates/experts, task towers, PLE extraction.
+
+TPU-first restructuring of the reference's per-expert Python loops
+(mmoe.py:208-224, extraction_network.py:27-85): all experts of a group are a
+single stacked ``(E, in, H)`` weight tensor contracted with one einsum — one
+large MXU matmul instead of E small ones — which also makes true expert
+parallelism a one-line sharding annotation (shard the E axis over the mesh's
+``model`` axis).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from recalgorithm_tpu.ops.mlp import MLPTower, glorot_uniform
+
+
+class ExpertGroup(nn.Module):
+    """E parallel one-layer relu experts as a stacked einsum.
+
+    (B, in) -> (B, E, H).  Matches mmoe.py:208-216 / the per-expert
+    tf.layers.dense(relu) calls in extraction_network.py:27-46.
+    """
+
+    num_experts: int
+    hidden_units: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        w = self.param(
+            "kernel", glorot_uniform, (self.num_experts, in_dim, self.hidden_units)
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.num_experts, self.hidden_units)
+        )
+        return nn.relu(jnp.einsum("bi,eih->beh", x, w) + b)
+
+
+class SoftmaxGate(nn.Module):
+    """Bias-free softmax gate over experts (mmoe.py:218-224, paper parity)."""
+
+    num_experts: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, in) -> (B, E)
+        w = self.param("kernel", glorot_uniform, (x.shape[-1], self.num_experts))
+        return jax.nn.softmax(x @ w, axis=-1)
+
+
+def mix_experts(experts: jax.Array, gate: jax.Array) -> jax.Array:
+    """(B, E, H), (B, E) -> (B, H) gate-weighted expert mixture."""
+    return jnp.einsum("beh,be->bh", experts, gate)
+
+
+class TaskTower(nn.Module):
+    """Per-task head: MLP (relu, dropout, BN) -> 1 logit (tower_layer.py:4-28)."""
+
+    hidden_units: Sequence[int]
+    dropout_rate: float = 0.1
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return MLPTower(
+            hidden_units=self.hidden_units,
+            dropout_rate=self.dropout_rate,
+            batch_norm=self.batch_norm,
+            logits_dim=1,
+        )(x, train)
+
+
+class ExtractionNetwork(nn.Module):
+    """PLE CGC block (reference extraction_network.py:4-85).
+
+    Per task: gate over (task experts ++ shared experts); plus an extra
+    all-experts gate.  Reference quirk reproduced: the per-task outputs and
+    the all-experts output are **summed** into a single tensor
+    (extraction_network.py:85's tf.add_n) rather than kept per-task as in the
+    PLE paper.
+    """
+
+    task_names: Sequence[str]
+    num_experts_per_task: Sequence[int]
+    num_experts_in_shared: int
+    expert_hidden_units: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, in) -> (B, H)
+        shared = ExpertGroup(
+            self.num_experts_in_shared, self.expert_hidden_units, name="shared"
+        )(x)  # (B, Es, H)
+        outputs = []
+        all_experts = []
+        for task, n_task in zip(self.task_names, self.num_experts_per_task):
+            task_experts = ExpertGroup(
+                n_task, self.expert_hidden_units, name=f"experts_{task}"
+            )(x)  # (B, Et, H)
+            all_experts.append(task_experts)
+            combined = jnp.concatenate([task_experts, shared], axis=1)
+            gate = SoftmaxGate(combined.shape[1], name=f"gate_{task}")(x)
+            outputs.append(mix_experts(combined, gate))
+        all_experts.append(shared)
+        all_experts = jnp.concatenate(all_experts, axis=1)
+        all_gate = SoftmaxGate(all_experts.shape[1], name="all_gate")(x)
+        outputs.append(mix_experts(all_experts, all_gate))
+        return sum(outputs)

@@ -1,0 +1,220 @@
+"""Unit tests for interaction kernels against small NumPy oracles.
+
+Shapes/cases mirror the reference's inline smoke tests (din_attention.py:46-61,
+transformer_layer.py:84-101, custom_grucell.py:170-196), plus explicit-loop
+oracles for every pooled/pairwise kernel.
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recalgorithm_tpu.ops import interactions as I
+from recalgorithm_tpu.ops.attention import DINAttention, BSTTransformerBlock
+from recalgorithm_tpu.ops.recurrent import GRULoop
+from recalgorithm_tpu.ops.experts import ExpertGroup, SoftmaxGate, mix_experts
+
+B, F, K = 4, 5, 8
+
+
+@pytest.fixture
+def field_emb():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(B, F, K)).astype(np.float32))
+
+
+def test_fm_pool_matches_pair_sum(field_emb):
+    """FM sum-square identity == explicit sum over pairs of v_i*v_j."""
+    got = I.fm_pool(field_emb)
+    x = np.asarray(field_emb)
+    want = np.zeros((B, K), np.float32)
+    for i, j in itertools.combinations(range(F), 2):
+        want += x[:, i, :] * x[:, j, :]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_pairwise_hadamard_order(field_emb):
+    got = np.asarray(I.pairwise_hadamard(field_emb))
+    x = np.asarray(field_emb)
+    pairs = list(itertools.combinations(range(F), 2))
+    assert got.shape == (B, len(pairs), K)
+    for p, (i, j) in enumerate(pairs):
+        np.testing.assert_allclose(got[:, p, :], x[:, i, :] * x[:, j, :], rtol=1e-5)
+
+
+def test_pairwise_dot(field_emb):
+    got = np.asarray(I.pairwise_dot(field_emb))
+    x = np.asarray(field_emb)
+    pairs = list(itertools.combinations(range(F), 2))
+    for p, (i, j) in enumerate(pairs):
+        np.testing.assert_allclose(
+            got[:, p], np.sum(x[:, i, :] * x[:, j, :], -1), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_cross_network_formula():
+    d = 6
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    net = I.CrossNetwork(num_layers=2)
+    params = net.init(jax.random.key(0), x0)
+    got = np.asarray(net.apply(params, x0))
+    p = jax.tree.map(np.asarray, params["params"])
+    xl = np.asarray(x0)
+    for layer in range(2):
+        w, bias = p[f"w_{layer}"], p[f"b_{layer}"]
+        xl = np.asarray(x0) * (xl @ w) + bias[:, 0] + xl
+    np.testing.assert_allclose(got, xl, rtol=1e-5, atol=1e-5)
+
+
+def test_cin_layer_against_loops(field_emb):
+    h_next = 3
+    layer = I.CINLayer(num_feature_maps=h_next)
+    xk = field_emb[:, :4, :]  # pretend previous layer has h_k=4 maps
+    params = layer.init(jax.random.key(0), field_emb, xk)
+    got = np.asarray(layer.apply(params, field_emb, xk))
+    filt = np.asarray(params["params"]["filter"])  # (hk*m, h_next)
+    x0, xkn = np.asarray(field_emb), np.asarray(xk)
+    hk, m = xkn.shape[1], x0.shape[1]
+    want = np.zeros((B, h_next, K), np.float32)
+    for b in range(B):
+        for d in range(K):
+            outer = np.outer(xkn[b, :, d], x0[b, :, d]).reshape(hk * m)
+            want[b, :, d] = outer @ filt
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_senet_shapes_and_reweighting(field_emb):
+    net = I.SENet(reduction_ratio=2)
+    params = net.init(jax.random.key(0), field_emb)
+    out = net.apply(params, field_emb)
+    assert out.shape == (B, F, K)
+    # each field is a scalar multiple of the input field
+    ratio = np.asarray(out) / (np.asarray(field_emb) + 1e-12)
+    np.testing.assert_allclose(ratio.std(axis=-1), 0.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("itype", ["all", "each", "interaction"])
+def test_bilinear_types(field_emb, itype):
+    net = I.BilinearInteraction(interaction_type=itype, drop_last_field=False)
+    params = net.init(jax.random.key(0), field_emb)
+    out = net.apply(params, field_emb)
+    assert out.shape == (B, F * (F - 1) // 2, K)
+
+
+def test_bilinear_reference_parity_pair_count(field_emb):
+    net = I.BilinearInteraction(interaction_type="all", drop_last_field=True)
+    params = net.init(jax.random.key(0), field_emb)
+    out = net.apply(params, field_emb)
+    f_eff = F - 1
+    assert out.shape == (B, f_eff * (f_eff - 1) // 2, K)
+
+
+def test_din_attention_zero_length_rows():
+    """Reference smoke case (din_attention.py:52): lengths [0, 1]."""
+    rng = np.random.default_rng(2)
+    keys = jnp.asarray(rng.normal(size=(2, 3, 4)).astype(np.float32))
+    query = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    lengths = jnp.asarray([0, 1], jnp.int32)
+    for use_softmax in (False, True):
+        att = DINAttention(use_softmax=use_softmax)
+        params = att.init(jax.random.key(0), query, keys, lengths)
+        out = np.asarray(att.apply(params, query, keys, lengths))
+        assert out.shape == (2, 4)
+        if not use_softmax:
+            # zero-length row pools nothing
+            np.testing.assert_allclose(out[0], 0.0, atol=1e-6)
+        assert np.all(np.isfinite(out))
+
+
+def test_bst_block_masks_padding():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 3, 4)).astype(np.float32))
+    lengths = jnp.asarray([1, 3], jnp.int32)
+    block = BSTTransformerBlock(num_heads=3, max_length=5)
+    params = block.init(jax.random.key(0), x, lengths)
+    out = block.apply(params, x, lengths)
+    assert out.shape == (2, 3, 4)
+    # changing a padded position must not change valid outputs of row 0
+    x2 = x.at[0, 2, :].set(99.0)
+    out2 = block.apply(params, x2, lengths)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0]), np.asarray(out2[0, 0]), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("cell", ["GRU", "AGRU", "AUGRU"])
+def test_gru_loop_matches_manual_step(cell):
+    b, t, i, h = 3, 4, 5, 6
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(b, t, i)).astype(np.float32))
+    lengths = jnp.asarray([4, 2, 0], jnp.int32)
+    att = jnp.asarray(rng.random((b, t)).astype(np.float32))
+    loop = GRULoop(num_units=h, cell_type=cell)
+    params = loop.init(jax.random.key(0), x, lengths, att)
+    outs, final = loop.apply(params, x, lengths, att)
+    assert outs.shape == (b, t, h) and final.shape == (b, h)
+
+    p = jax.tree.map(np.asarray, params["params"])
+    xn, attn = np.asarray(x), np.asarray(att)
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    state = np.zeros((b, h), np.float32)
+    want_outs = np.zeros((b, t, h), np.float32)
+    for step in range(t):
+        gates = sigmoid(
+            xn[:, step] @ p["w_x_gates"] + state @ p["w_h_gates"] + p["b_gates"]
+        )
+        r, u = gates[:, :h], gates[:, h:]
+        c = np.tanh(
+            xn[:, step] @ p["w_x_cand"] + (r * state) @ p["w_h_cand"] + p["b_cand"]
+        )
+        a = attn[:, step][:, None]
+        if cell == "GRU":
+            new_h = u * state + (1 - u) * c
+        elif cell == "AGRU":
+            new_h = (1 - a) * state + a * c
+        else:
+            u2 = (1 - a) * u
+            new_h = u2 * state + (1 - u2) * c
+        m = (step < np.asarray(lengths)).astype(np.float32)[:, None]
+        state = m * new_h + (1 - m) * state
+        want_outs[:, step] = m * new_h
+    np.testing.assert_allclose(np.asarray(outs), want_outs, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(final), state, rtol=1e-4, atol=1e-4)
+    # zero-length row: all-zero outputs, zero final state
+    np.testing.assert_allclose(np.asarray(outs[2]), 0.0, atol=1e-6)
+
+
+def test_expert_group_equals_per_expert_dense():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, 7)).astype(np.float32))
+    group = ExpertGroup(num_experts=3, hidden_units=6)
+    params = group.init(jax.random.key(0), x)
+    out = np.asarray(group.apply(params, x))
+    w = np.asarray(params["params"]["kernel"])
+    bias = np.asarray(params["params"]["bias"])
+    for e in range(3):
+        want = np.maximum(np.asarray(x) @ w[e] + bias[e], 0.0)
+        # default (MXU/bf16-grade) matmul precision is intentional here: the
+        # expert einsum is the hot matmul of MMOE/PLE
+        np.testing.assert_allclose(out[:, e, :], want, rtol=1e-2, atol=1e-2)
+
+
+def test_gate_mixture_is_convex_combination():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(B, 7)).astype(np.float32))
+    experts = jnp.asarray(rng.normal(size=(B, 3, 6)).astype(np.float32))
+    gate_mod = SoftmaxGate(num_experts=3)
+    params = gate_mod.init(jax.random.key(0), x)
+    gate = gate_mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(gate).sum(-1), 1.0, rtol=1e-5)
+    mixed = np.asarray(mix_experts(experts, gate))
+    lo = np.asarray(experts).min(axis=1) - 1e-5
+    hi = np.asarray(experts).max(axis=1) + 1e-5
+    assert np.all(mixed >= lo) and np.all(mixed <= hi)
