@@ -1,0 +1,77 @@
+"""Device mesh construction and sharding rules.
+
+The canonical layout for CTR ranking models on a TPU slice:
+
+  * mesh axes ``("data", "model")`` — ``data`` carries the batch (pure DP),
+    ``model`` is reserved for expert/table-column parallelism (EP for
+    MMOE/PLE, column sharding for very wide tables); at reference scale
+    ``model=1`` is the default,
+  * dense-tower parameters are replicated,
+  * embedding tables are **row-sharded over the full mesh** (both axes
+    flattened): tables dominate memory while their FLOPs are negligible, so
+    spreading rows across every chip maximises HBM headroom and turns lookups
+    into all-to-alls that ride ICI.  Under pjit the XLA SPMD partitioner
+    inserts those collectives from the ``P(("data", "model"), None)``
+    annotation alone; embed/sharded.py provides the hand-written shard_map
+    variant.
+
+The reference has no distribution whatsoever (SURVEY.md §2.4); this module is
+where the new framework adds it.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# Row-sharded over every device; the embedding engine's lookups become
+# all-to-alls on ICI.
+TABLE_SPEC = P((DATA_AXIS, MODEL_AXIS), None)
+BATCH_SPEC = P(DATA_AXIS)
+REPLICATED = P()
+
+
+def make_mesh(
+    num_model: int = 1, devices: list | None = None
+) -> Mesh:
+    """Mesh over all (or given) devices: (n/num_model, num_model) data x model."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n % num_model:
+        raise ValueError(f"{n} devices not divisible by model={num_model}")
+    arr = np.asarray(devices).reshape(n // num_model, num_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, BATCH_SPEC)
+
+
+def is_embedding_table_path(path: tuple) -> bool:
+    """True for params living under an EmbeddingCollection named 'embed'.
+
+    Framework convention: every model instantiates its EmbeddingCollection as
+    ``name='embed'`` so sharding rules need no per-model configuration.
+    """
+    keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+    return "embed" in keys
+
+
+def param_specs(params) -> object:
+    """PartitionSpec tree: embedding tables row-sharded, the rest replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: TABLE_SPEC if is_embedding_table_path(path) else REPLICATED,
+        params,
+    )
+
+
+def param_shardings(params, mesh: Mesh):
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_specs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )

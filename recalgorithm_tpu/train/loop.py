@@ -1,0 +1,413 @@
+"""Training driver: the TPU-native replacement for tf.estimator.train_and_evaluate.
+
+Responsibilities (mirroring the reference's Estimator usage,
+wide_and_deep.py:331-376, and SURVEY.md §3.1):
+
+  * jitted/pjit'ed train step — loss = sum of per-task mean sigmoid CE
+    (mmoe.py:261-263) + any regularisation terms models sow into the
+    ``"losses"`` collection; BatchNorm running stats via the mutable
+    ``batch_stats`` collection (UPDATE_OPS parity),
+  * streaming train metrics (loss / accuracy / 200-bin AUC) logged every
+    ``log_every`` steps (LoggingTensorHook parity),
+  * periodic eval every ``eval_every_steps`` with streaming AUC + accuracy,
+  * Orbax checkpointing every ``save_checkpoints_steps`` with
+    resume-from-latest, plus a best-exporter keyed on eval AUC of the first
+    task that keeps the ``keep_best`` best serving artifacts
+    (BestExporter(exports_to_keep=5) parity),
+  * multi-chip: given a Mesh, the batch is sharded over ``data`` and the
+    embedding tables row-sharded over the whole mesh (parallel/mesh.py);
+    the same step function runs single-chip when mesh is None.
+
+Data contract: iterables of host batches (dict[str, np.ndarray]) with fixed
+shapes; an optional ``"_weights"`` (B,) 0/1 mask marks real rows in padded
+eval tails.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import flax
+from flax import struct
+from flax.training import train_state as flax_train_state
+
+from recalgorithm_tpu.parallel import mesh as mesh_lib
+from recalgorithm_tpu.train import metrics as M
+
+
+@struct.dataclass
+class TaskMetrics:
+    auc: M.AUCState
+    acc: M.ScalarMeanState
+
+    @classmethod
+    def init(cls):
+        return cls(auc=M.AUCState.init(), acc=M.ScalarMeanState.init())
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    loss_mean: M.ScalarMeanState
+    task_metrics: dict  # task -> TaskMetrics
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    model_dir: str = "./model_dir"
+    train_steps: int = 10000
+    log_every: int = 100
+    eval_every_steps: int = 0  # 0 = only final eval (reference throttles by time)
+    save_checkpoints_steps: int = 1000
+    keep_best: int = 5  # BestExporter(exports_to_keep=5)
+    seed: int = 42
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,  # nn.Module: __call__(batch, train) -> {task: logits}
+        task_names: tuple[str, ...],
+        optimizer: optax.GradientTransformation,
+        config: TrainerConfig,
+        mesh=None,
+    ):
+        self.model = model
+        self.task_names = tuple(task_names)
+        self.tx = optimizer
+        self.config = config
+        self.mesh = mesh
+        self._compiled = None
+
+    # -- initialisation ------------------------------------------------------
+
+    def init_state(self, sample_batch: Mapping[str, np.ndarray]) -> TrainState:
+        rng = jax.random.key(self.config.seed)
+        batch = jax.tree.map(jnp.asarray, dict(sample_batch))
+        variables = self.model.init(rng, batch, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            loss_mean=M.ScalarMeanState.init(),
+            task_metrics={t: TaskMetrics.init() for t in self.task_names},
+        )
+        if self.mesh is not None:
+            shardings = mesh_lib.param_shardings(params, self.mesh)
+            params = jax.device_put(params, shardings)
+            # opt_state mirrors param sharding leaf-wise where shapes match;
+            # simplest robust rule: re-init on sharded params.
+            state = state.replace(params=params, opt_state=self.tx.init(params))
+        return state
+
+    # -- steps ---------------------------------------------------------------
+
+    def _loss_and_logits(self, params, batch_stats, batch, train, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        mutable = ["batch_stats", "losses"] if train else ["losses"]
+        rngs = {"dropout": rng} if rng is not None else None
+        logits, updates = self.model.apply(
+            variables, batch, train=train, rngs=rngs, mutable=mutable
+        )
+        weights = batch.get("_weights")
+        total = jnp.zeros((), jnp.float32)
+        label_idx = {
+            name: i for i, name in enumerate(self.model.schema.labels)
+        }
+        per_task = {}
+        for task in self.task_names:
+            y = batch["labels"][:, label_idx[task]]
+            ce = optax.sigmoid_binary_cross_entropy(logits[task], y)
+            if weights is not None:
+                ce = ce * weights
+                mean = jnp.sum(ce) / jnp.maximum(jnp.sum(weights), 1.0)
+            else:
+                mean = jnp.mean(ce)
+            per_task[task] = mean
+            total = total + mean
+        reg = updates.get("losses", {})
+        for leaf in jax.tree.leaves(reg):
+            total = total + jnp.sum(leaf)
+        new_bs = updates.get("batch_stats", batch_stats)
+        return total, (logits, new_bs, per_task)
+
+    def _update_metrics(self, state: TrainState, batch, logits, loss):
+        weights = batch.get("_weights")
+        label_idx = {name: i for i, name in enumerate(self.model.schema.labels)}
+        tms = {}
+        for task in self.task_names:
+            y = batch["labels"][:, label_idx[task]]
+            p = jax.nn.sigmoid(logits[task])
+            tm = state.task_metrics[task]
+            tms[task] = TaskMetrics(
+                auc=M.auc_update(tm.auc, y, p, weights),
+                acc=M.mean_update(
+                    tm.acc, (jnp.where(p >= 0.5, 1.0, 0.0) == y).astype(jnp.float32),
+                    weights,
+                ),
+            )
+        n = jnp.sum(weights) if weights is not None else batch["labels"].shape[0]
+        return state.replace(
+            loss_mean=M.mean_update(
+                state.loss_mean, loss[None], jnp.asarray([n], jnp.float32)
+            ),
+            task_metrics=tms,
+        )
+
+    def _train_step(self, state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(self._loss_and_logits, has_aux=True)
+        (loss, (logits, new_bs, _)), grads = grad_fn(
+            state.params, state.batch_stats, batch, True, rng
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return self._update_metrics(state, batch, logits, loss), loss
+
+    def _eval_step(self, params, batch_stats, batch, eval_state):
+        loss, (logits, _, _) = self._loss_and_logits(
+            params, batch_stats, batch, False, None
+        )
+        return self._update_metrics(eval_state, batch, logits, loss)
+
+    def _compile(self):
+        if self._compiled is None:
+            donate = (0,)
+            self._train_jit = jax.jit(self._train_step, donate_argnums=donate)
+            self._eval_jit = jax.jit(self._eval_step, donate_argnums=(3,))
+            self._predict_jit = jax.jit(
+                lambda params, batch_stats, batch: jax.tree.map(
+                    jax.nn.sigmoid,
+                    self.model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        batch,
+                        train=False,
+                        mutable=["losses"],
+                    )[0],
+                )
+            )
+            self._compiled = True
+
+    def _put_batch(self, batch: Mapping[str, np.ndarray]):
+        batch = dict(batch)
+        if self.mesh is not None:
+            sharding = mesh_lib.batch_sharding(self.mesh)
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jnp.asarray, batch)
+
+    # -- metric reporting ----------------------------------------------------
+
+    def _metrics_snapshot(self, state) -> dict[str, float]:
+        out = {"loss": float(M.mean_compute(state.loss_mean))}
+        for task, tm in state.task_metrics.items():
+            out[f"{task}_auc"] = float(M.auc_compute(tm.auc))
+            out[f"{task}_accuracy"] = float(M.mean_compute(tm.acc))
+        return out
+
+    # -- public API ----------------------------------------------------------
+
+    def evaluate(
+        self, state: TrainState, eval_batches: Iterable[Mapping[str, np.ndarray]]
+    ) -> dict[str, float]:
+        self._compile()
+        eval_state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params={},
+            batch_stats={},
+            opt_state=(),
+            loss_mean=M.ScalarMeanState.init(),
+            task_metrics={t: TaskMetrics.init() for t in self.task_names},
+        )
+        for hb in eval_batches:
+            batch = self._put_batch(hb)
+            eval_state = self._eval_jit(
+                state.params, state.batch_stats, batch, eval_state
+            )
+        return self._metrics_snapshot(eval_state)
+
+    def predict(
+        self, state: TrainState, batches: Iterable[Mapping[str, np.ndarray]]
+    ) -> dict[str, np.ndarray]:
+        """Probabilities per task, concatenated over batches (PREDICT parity)."""
+        self._compile()
+        outs: dict[str, list[np.ndarray]] = {t: [] for t in self.task_names}
+        for hb in batches:
+            batch = self._put_batch(hb)
+            probs = self._predict_jit(state.params, state.batch_stats, batch)
+            w = hb.get("_weights")
+            for t in self.task_names:
+                p = np.asarray(probs[t])
+                if w is not None:
+                    p = p[np.asarray(w) > 0]
+                outs[t].append(p)
+        return {t: np.concatenate(v) if v else np.empty((0,)) for t, v in outs.items()}
+
+    def train_and_evaluate(
+        self,
+        train_batches: Iterable[Mapping[str, np.ndarray]],
+        eval_batches_fn: Callable[[], Iterable[Mapping[str, np.ndarray]]] | None = None,
+        state: TrainState | None = None,
+        log_fn: Callable[[str], None] = print,
+    ) -> tuple[TrainState, dict[str, float]]:
+        cfg = self.config
+        self._compile()
+        rng = jax.random.key(cfg.seed + 1)
+        checkpointer = _Checkpointer(cfg.model_dir, cfg.keep_best)
+
+        train_iter = iter(train_batches)
+        if state is None:
+            first = next(train_iter)
+            state = self.init_state(first)
+            state = checkpointer.restore_latest(state)
+            # re-feed the first batch unless we resumed past it
+            if int(state.step) == 0:
+                batch = self._put_batch(first)
+                rng, sub = jax.random.split(rng)
+                state, _ = self._train_jit(state, batch, sub)
+
+        t0 = time.time()
+        last_log_step = int(state.step)
+        final_eval: dict[str, float] = {}
+        while int(state.step) < cfg.train_steps:
+            try:
+                hb = next(train_iter)
+            except StopIteration:
+                break
+            batch = self._put_batch(hb)
+            rng, sub = jax.random.split(rng)
+            state, loss = self._train_jit(state, batch, sub)
+            step = int(state.step)
+            if step % cfg.log_every == 0 and step != last_log_step:
+                snap = self._metrics_snapshot(state)
+                dt = time.time() - t0
+                rate = (step - last_log_step) * batch["labels"].shape[0] / max(dt, 1e-9)
+                log_fn(
+                    f"step {step} loss={snap['loss']:.5f} "
+                    + " ".join(
+                        f"{t}_auc={snap[f'{t}_auc']:.5f}" for t in self.task_names
+                    )
+                    + f" ({rate:,.0f} ex/s)"
+                )
+                t0, last_log_step = time.time(), step
+            if cfg.save_checkpoints_steps and step % cfg.save_checkpoints_steps == 0:
+                checkpointer.save(state)
+            if (
+                eval_batches_fn is not None
+                and cfg.eval_every_steps
+                and step % cfg.eval_every_steps == 0
+            ):
+                ev = self.evaluate(state, eval_batches_fn())
+                log_fn(f"eval @ {step}: {ev}")
+                checkpointer.maybe_export_best(
+                    state, ev[f"{self.task_names[0]}_auc"]
+                )
+        checkpointer.save(state)
+        if eval_batches_fn is not None:
+            final_eval = self.evaluate(state, eval_batches_fn())
+            log_fn(f"final eval: {final_eval}")
+            checkpointer.maybe_export_best(
+                state, final_eval[f"{self.task_names[0]}_auc"]
+            )
+        checkpointer.close()
+        return state, final_eval
+
+
+class _Checkpointer:
+    """Orbax checkpoint manager + best-AUC serving exporter."""
+
+    def __init__(self, model_dir: str, keep_best: int):
+        import orbax.checkpoint as ocp
+
+        self.model_dir = os.path.abspath(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            os.path.join(self.model_dir, "checkpoints"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+        )
+        self.keep_best = keep_best
+        self.best_path = os.path.join(self.model_dir, "best_exports.json")
+        self.best: list[tuple[float, int]] = []
+        if os.path.exists(self.best_path):
+            with open(self.best_path) as f:
+                self.best = [tuple(x) for x in json.load(f)]
+
+    def save(self, state: TrainState):
+        import orbax.checkpoint as ocp
+
+        self.mgr.save(
+            int(state.step),
+            args=ocp.args.StandardSave(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state, "step": state.step}
+            ),
+        )
+
+    def restore_latest(self, state: TrainState) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        latest = self.mgr.latest_step()
+        if latest is None:
+            return state
+        restored = self.mgr.restore(
+            latest,
+            args=ocp.args.StandardRestore(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state, "step": state.step}
+            ),
+        )
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    def maybe_export_best(self, state: TrainState, auc: float):
+        """Keep the `keep_best` highest-AUC serving artifacts (BestExporter parity)."""
+        step = int(state.step)
+        if len(self.best) >= self.keep_best and auc <= min(a for a, _ in self.best):
+            return
+        export_dir = os.path.join(self.model_dir, "export", f"best_{step}")
+        os.makedirs(export_dir, exist_ok=True)
+        with open(os.path.join(export_dir, "params.msgpack"), "wb") as f:
+            f.write(
+                flax.serialization.to_bytes(
+                    {"params": state.params, "batch_stats": state.batch_stats}
+                )
+            )
+        with open(os.path.join(export_dir, "metrics.json"), "w") as f:
+            json.dump({"auc": auc, "step": step}, f)
+        self.best.append((auc, step))
+        self.best.sort(reverse=True)
+        for auc_old, step_old in self.best[self.keep_best:]:
+            stale = os.path.join(self.model_dir, "export", f"best_{step_old}")
+            if os.path.isdir(stale):
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+        self.best = self.best[: self.keep_best]
+        with open(self.best_path, "w") as f:
+            json.dump(self.best, f)
+
+    def close(self):
+        self.mgr.wait_until_finished()
+        self.mgr.close()

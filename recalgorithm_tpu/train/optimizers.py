@@ -1,0 +1,182 @@
+"""Optimizers with reference parity, as optax transformations.
+
+The reference's optimizer menu (e.g. wide_and_deep.py:254-272, dien.py:328):
+Adam, Adagrad, FTRL, RMSProp, SGD, LazyAdam, plus the Wide&Deep dual-optimizer
+split (FTRL on the wide part, the chosen optimizer on the deep part,
+wide_and_deep.py:251-276) expressed with ``optax.multi_transform``.
+
+Two of them are not in optax and are implemented here:
+
+  * ``ftrl`` — TF FtrlOptimizer semantics (FTRL-proximal, McMahan et al.):
+    per-coordinate z/n accumulators, learning_rate_power=-0.5,
+    initial_accumulator_value=0.1, optional l1/l2.
+  * ``lazy_adam`` — TF contrib LazyAdamOptimizer semantics: moment updates and
+    parameter steps are applied only at coordinates whose gradient is nonzero
+    this step.  With dense embedding-gather gradients, "nonzero rows" is
+    exactly the set of touched rows, so behaviour matches the sparse-update
+    semantics the reference relies on for DIEN.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class FtrlState(NamedTuple):
+    z: Any
+    n: Any
+
+
+def ftrl(
+    learning_rate: float,
+    learning_rate_power: float = -0.5,
+    initial_accumulator_value: float = 0.1,
+    l1_regularization_strength: float = 0.0,
+    l2_regularization_strength: float = 0.0,
+) -> optax.GradientTransformation:
+    """FTRL-proximal with TF1 FtrlOptimizer defaults.
+
+    NOTE: like TF's implementation this transformation *replaces* the
+    parameter (returns ``new_w - w`` as the update) rather than producing a
+    descent direction.
+    """
+    alpha = learning_rate
+    p = learning_rate_power
+    l1 = l1_regularization_strength
+    l2 = l2_regularization_strength
+
+    def init(params):
+        return FtrlState(
+            z=jax.tree.map(jnp.zeros_like, params),
+            n=jax.tree.map(
+                lambda t: jnp.full_like(t, initial_accumulator_value), params
+            ),
+        )
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("ftrl requires params")
+
+        def upd(g, z, n, w):
+            n_new = n + g * g
+            sigma = (n_new ** (-p) - n ** (-p)) / alpha
+            z_new = z + g - sigma * w
+            denom = n_new ** (-p) / alpha + 2.0 * l2
+            w_new = jnp.where(
+                jnp.abs(z_new) > l1,
+                -(z_new - jnp.sign(z_new) * l1) / denom,
+                0.0,
+            )
+            return w_new - w, z_new, n_new
+
+        out = jax.tree.map(upd, grads, state.z, state.n, params)
+        updates = jax.tree.map(lambda o: o[0], out, is_leaf=lambda x: isinstance(x, tuple))
+        z_new = jax.tree.map(lambda o: o[1], out, is_leaf=lambda x: isinstance(x, tuple))
+        n_new = jax.tree.map(lambda o: o[2], out, is_leaf=lambda x: isinstance(x, tuple))
+        return updates, FtrlState(z=z_new, n=n_new)
+
+    return optax.GradientTransformation(init, update)
+
+
+class LazyAdamState(NamedTuple):
+    count: Any  # per-leaf per-coordinate step counts
+    mu: Any
+    nu: Any
+
+
+def lazy_adam(
+    learning_rate: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """LazyAdam: update moments/params only where the gradient is nonzero.
+
+    Keeps a per-coordinate step count so bias correction matches how many
+    times each coordinate was actually touched (TF LazyAdam applies the
+    global-step bias correction; per-coordinate counts are strictly closer to
+    sparse-Adam semantics and coincide for always-touched coordinates).
+    """
+
+    def init(params):
+        return LazyAdamState(
+            count=jax.tree.map(lambda t: jnp.zeros_like(t, jnp.int32), params),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+
+        def upd(g, cnt, mu, nu):
+            touched = (g != 0).astype(g.dtype)
+            cnt_new = cnt + touched.astype(jnp.int32)
+            mu_new = jnp.where(touched > 0, b1 * mu + (1 - b1) * g, mu)
+            nu_new = jnp.where(touched > 0, b2 * nu + (1 - b2) * g * g, nu)
+            c = jnp.maximum(cnt_new, 1).astype(g.dtype)
+            mu_hat = mu_new / (1 - b1**c)
+            nu_hat = nu_new / (1 - b2**c)
+            step = -learning_rate * mu_hat / (jnp.sqrt(nu_hat) + eps)
+            return jnp.where(touched > 0, step, 0.0), cnt_new, mu_new, nu_new
+
+        out = jax.tree.map(upd, grads, state.count, state.mu, state.nu)
+        is_tup = lambda x: isinstance(x, tuple)
+        return (
+            jax.tree.map(lambda o: o[0], out, is_leaf=is_tup),
+            LazyAdamState(
+                count=jax.tree.map(lambda o: o[1], out, is_leaf=is_tup),
+                mu=jax.tree.map(lambda o: o[2], out, is_leaf=is_tup),
+                nu=jax.tree.map(lambda o: o[3], out, is_leaf=is_tup),
+            ),
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def build(name: str, learning_rate: float, **kwargs) -> optax.GradientTransformation:
+    """Optimizer factory with the reference's names and defaults."""
+    name = name.lower()
+    if name == "adam":
+        return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if name == "adagrad":
+        # reference uses initial_accumulator_value=1e-8 (wide_and_deep.py:264-265)
+        return optax.adagrad(
+            learning_rate,
+            initial_accumulator_value=kwargs.get("initial_accumulator_value", 1e-8),
+        )
+    if name == "ftrl":
+        return ftrl(learning_rate, **kwargs)
+    if name == "rmsprop":
+        return optax.rmsprop(learning_rate)
+    if name == "sgd":
+        return optax.sgd(learning_rate)
+    if name == "lazyadam":
+        return lazy_adam(learning_rate)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def dual_wide_deep(
+    wide_lr: float,
+    deep_optimizer: str,
+    deep_lr: float,
+    wide_predicate,
+) -> optax.GradientTransformation:
+    """Wide&Deep dual optimizer: FTRL on wide params, `deep_optimizer` on the rest.
+
+    ``wide_predicate(path_tuple) -> bool`` selects wide params by tree path.
+    Mirrors wide_and_deep.py:251-276 (variable-scope based var_lists).
+    """
+    label_fn = lambda params: jax.tree_util.tree_map_with_path(
+        lambda path, _: "wide" if wide_predicate(path) else "deep", params
+    )
+    return optax.multi_transform(
+        {
+            "wide": ftrl(wide_lr),
+            "deep": build(deep_optimizer, deep_lr),
+        },
+        label_fn,
+    )
