@@ -1,0 +1,209 @@
+"""CLI entrypoint: `python -m recalgorithm_tpu.cli.main --model DIN [flags]`.
+
+Flag-compatible with the reference's per-script tf.app.flags headers
+(wide_and_deep.py:12-53 and per-model extras): the common training flags keep
+their names, and every field of the selected model's config dataclass becomes
+a CLI flag automatically (comma-separated lists for tuple fields, so
+`--hidden_units 512,256,128` works exactly as in the reference's result.md
+sweep commands).
+
+Run modes:
+  * real data: --train_data/--eval_data point at reference-format
+    SequenceExample TFRecords, --vocabulary_dir at the ETL's vocabulary txts,
+  * --synthetic: WeChat-shaped synthetic stream (smoke tests / benchmarks).
+
+After training: final evaluate (metrics printed), predictions.csv with
+per-task probabilities joined with labels (reference wide_and_deep.py:360-375).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import typing
+
+import numpy as np
+
+
+def _add_dataclass_flags(parser: argparse.ArgumentParser, cfg_cls) -> None:
+    for f in dataclasses.fields(cfg_cls):
+        name = "--" + f.name
+        default = f.default
+        ftype = f.type if not isinstance(f.type, str) else eval(f.type)  # noqa: S307
+        origin = typing.get_origin(ftype)
+        if ftype is bool:
+            parser.add_argument(
+                name, type=lambda s: s.lower() in ("true", "1", "yes"),
+                default=default,
+            )
+        elif origin is tuple:
+            args = typing.get_args(ftype)
+            elem = args[0] if args else str
+            parser.add_argument(
+                name,
+                type=lambda s, e=elem: tuple(e(x) for x in s.split(",") if x),
+                default=default,
+            )
+        elif ftype in (int, float, str):
+            parser.add_argument(name, type=ftype, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+
+
+def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+
+    parser = argparse.ArgumentParser(description="recalgorithm_tpu trainer")
+    parser.add_argument(
+        "--model", default=model_name, required=model_name is None,
+        choices=sorted(MODEL_REGISTRY),
+    )
+    parser.add_argument("--model_dir", default="./model_dir")
+    parser.add_argument("--output_dir", default="./output_dir")
+    parser.add_argument(
+        "--train_data",
+        default="../../dataset/wechat_algo_data1/tfrecord/train.tfrecord",
+    )
+    parser.add_argument(
+        "--eval_data",
+        default="../../dataset/wechat_algo_data1/tfrecord/test.tfrecord",
+    )
+    parser.add_argument(
+        "--vocabulary_dir", default="../../dataset/wechat_algo_data1/vocabulary/"
+    )
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on WeChat-shaped synthetic data")
+    parser.add_argument("--synthetic_vocab_scale", type=float, default=0.01)
+    parser.add_argument("--limit_examples", type=int, default=None,
+                        help="cap examples read from TFRecords (debug)")
+    parser.add_argument("--eval_every_steps", type=int, default=0)
+    parser.add_argument("--log_every", type=int, default=100)
+    parser.add_argument("--num_model_shards", type=int, default=1,
+                        help="mesh 'model' axis size (1 = pure data parallel)")
+    parser.add_argument("--no_mesh", action="store_true",
+                        help="single-device mode without a mesh")
+    parser.add_argument("--predictions_csv", default="predictions.csv")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser
+
+
+def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
+    # parse --model first so model-specific flags can be registered
+    import jax
+
+    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+    from recalgorithm_tpu.parallel import mesh as mesh_lib
+    from recalgorithm_tpu.train import optimizers
+    from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    pre = build_parser(model_name)
+    pre_args, _ = pre.parse_known_args(argv)
+    cfg_cls, model_cls = MODEL_REGISTRY[pre_args.model]
+
+    parser = build_parser(model_name)
+    _add_dataclass_flags(parser, cfg_cls)
+    args = parser.parse_args(argv)
+
+    cfg_kwargs = {
+        f.name: getattr(args, f.name) for f in dataclasses.fields(cfg_cls)
+    }
+    cfg = cfg_cls(**cfg_kwargs)
+
+    # ---- data
+    if args.synthetic:
+        from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+
+        gen = SyntheticWeChat(
+            wechat_schema(),
+            SyntheticConfig(seed=args.seed, vocab_scale=args.synthetic_vocab_scale),
+        )
+        schema = wechat_schema(gen.vocab_sizes())
+        train_iter = gen.batches(cfg.batch_size, cfg.train_steps)
+        eval_fn = lambda: gen.batches(cfg.batch_size, 16, start_seed=10_000_000)
+        eval_labels = None
+    else:
+        from recalgorithm_tpu.data import pipeline
+        from recalgorithm_tpu.features.vocab import VocabularyStore
+
+        vocabs = VocabularyStore.from_dir(args.vocabulary_dir)
+        schema = wechat_schema(vocabs.sizes())
+        train_arrays = pipeline.load_tfrecord_dataset(
+            args.train_data, schema, vocabs, limit=args.limit_examples
+        )
+        eval_arrays = pipeline.load_tfrecord_dataset(
+            args.eval_data, schema, vocabs, limit=args.limit_examples
+        )
+        train_iter = pipeline.prefetch(
+            pipeline.batches(
+                train_arrays, cfg.batch_size, num_epochs=cfg.num_epochs,
+                shuffle=cfg.shuffle_buffer_size > 0, seed=args.seed,
+                drop_remainder=True, max_steps=cfg.train_steps,
+            )
+        )
+        eval_fn = lambda: pipeline.batches(
+            eval_arrays, cfg.batch_size, num_epochs=1, shuffle=False
+        )
+        eval_labels = eval_arrays.labels
+
+    # ---- model + trainer
+    model = model_cls(config=cfg, schema=schema)
+    opt_name = getattr(cfg, "optimizer", "adam")
+    if pre_args.model == "WideAndDeep":
+        optimizer = optimizers.dual_wide_deep(
+            cfg.wide_part_learning_rate,
+            cfg.deep_part_optimizer,
+            cfg.deep_part_learning_rate,
+            model_cls.wide_param_predicate,
+        )
+    else:
+        optimizer = optimizers.build(opt_name, cfg.learning_rate)
+
+    mesh = None
+    if not args.no_mesh and len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh(num_model=args.num_model_shards)
+
+    trainer = Trainer(
+        model,
+        cfg.task_names,
+        optimizer,
+        TrainerConfig(
+            model_dir=args.model_dir,
+            train_steps=cfg.train_steps,
+            log_every=args.log_every,
+            eval_every_steps=args.eval_every_steps,
+            save_checkpoints_steps=cfg.save_checkpoints_steps,
+            seed=args.seed,
+        ),
+        mesh=mesh,
+    )
+    state, final_eval = trainer.train_and_evaluate(train_iter, eval_fn)
+    for key in sorted(final_eval):
+        print(f"{key}: {final_eval[key]}")
+
+    # ---- predictions.csv (reference wide_and_deep.py:370-375)
+    probs = trainer.predict(state, eval_fn())
+    import csv
+
+    with open(args.predictions_csv, "w", newline="") as f:
+        writer = csv.writer(f)
+        tasks = list(cfg.task_names)
+        header = [f"{t}_probabilities" for t in tasks]
+        if eval_labels is not None:
+            header += list(schema.labels)
+        writer.writerow(header)
+        n = len(next(iter(probs.values())))
+        for i in range(n):
+            row = [f"{probs[t][i]:.6f}" for t in tasks]
+            if eval_labels is not None and i < len(eval_labels):
+                row += [f"{v:g}" for v in eval_labels[i]]
+            writer.writerow(row)
+    print(f"wrote {args.predictions_csv}")
+    return final_eval
+
+
+if __name__ == "__main__":
+    main()

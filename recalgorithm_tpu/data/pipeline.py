@@ -1,0 +1,177 @@
+"""Host input pipeline: TFRecords -> translated, fixed-shape numpy batches.
+
+Replaces tf.data's TFRecordDataset -> shuffle(10000) -> repeat -> batch ->
+parse -> prefetch(1) chain (reference algorithm/utils.py:18-26) with a
+host-side pipeline built for TPU feeding:
+
+  * string->id translation happens HERE (TPUs do no string work): categorical
+    tokens are mapped through the compiled vocabularies once, at load time,
+    and the whole translated dataset is cached as dense numpy arrays — the
+    WeChat train split (3.3M rows) fits comfortably (~1.7 GB at T=50),
+  * every batch has identical shapes (XLA never recompiles): sequences are
+    padded to the schema's max_length, the last partial batch is padded with
+    zero rows and carries a 0/1 ``_weights`` mask,
+  * shuffle: full permutation per epoch (strictly stronger than the
+    reference's 10k-element reservoir),
+  * a one-deep background prefetch thread overlaps host batch assembly with
+    device steps (prefetch(1) parity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, Mapping
+
+import numpy as np
+
+from recalgorithm_tpu.data import tfrecord
+from recalgorithm_tpu.features.schema import Schema
+from recalgorithm_tpu.features.vocab import VocabularyStore
+
+
+@dataclasses.dataclass
+class DatasetArrays:
+    """The fully-translated dataset as flat arrays (row-major over examples)."""
+
+    dense: np.ndarray          # (N, n_dense) f32
+    categorical: dict          # name -> (N,) i32
+    sequences: dict            # name -> ((N, T) i32, (N,) i32 lengths)
+    labels: np.ndarray         # (N, n_labels) f32
+
+    @property
+    def num_examples(self) -> int:
+        return self.labels.shape[0]
+
+    def row_batch(self, idx: np.ndarray) -> dict[str, np.ndarray]:
+        out = {"dense": self.dense[idx], "labels": self.labels[idx]}
+        for name, arr in self.categorical.items():
+            out[name] = arr[idx]
+        for name, (ids, lens) in self.sequences.items():
+            out[name] = ids[idx]
+            out[name + "_len"] = lens[idx]
+        return out
+
+
+def load_tfrecord_dataset(
+    path: str,
+    schema: Schema,
+    vocabs: VocabularyStore,
+    limit: int | None = None,
+) -> DatasetArrays:
+    """Parse + translate a reference-format SequenceExample TFRecord file."""
+    dense_rows, label_rows = [], []
+    cat_rows: dict[str, list[int]] = {f.name: [] for f in schema.categorical}
+    seq_rows: dict[str, tuple[list, list]] = {
+        f.name: ([], []) for f in schema.sequence
+    }
+    seq_specs = {f.name: f for f in schema.sequence}
+    lookups = {}
+    for f in schema.categorical:
+        lookups[f.name] = vocabs[f.vocab]
+    for f in schema.sequence:
+        lookups[f.name] = vocabs[f.vocab]
+
+    for n, payload in enumerate(tfrecord.read_records(path)):
+        if limit is not None and n >= limit:
+            break
+        context, feature_lists = tfrecord.parse_sequence_example(payload)
+        dense_rows.append(
+            [float(context[name][1][0]) if name in context else 0.0
+             for name in schema.dense_names]
+        )
+        label_rows.append(
+            [float(context[name][1][0]) if name in context else 0.0
+             for name in schema.labels]
+        )
+        for f in schema.categorical:
+            kind, vals = context.get(f.name, ("bytes", [b""]))
+            tok = vals[0].decode("utf-8") if vals else ""
+            cat_rows[f.name].append(lookups[f.name].lookup(tok))
+        for f in schema.sequence:
+            steps = feature_lists.get(f.name, [])
+            toks = [v[1][0].decode("utf-8") for v in steps if v[1]]
+            toks = toks[-f.max_length :]
+            ids, lens = seq_rows[f.name]
+            ids.append([lookups[f.name].lookup(t) for t in toks])
+            lens.append(len(toks))
+
+    n = len(dense_rows)
+    sequences = {}
+    for name, (ids, lens) in seq_rows.items():
+        t = seq_specs[name].max_length
+        padded = np.zeros((n, t), np.int32)
+        for i, row in enumerate(ids):
+            padded[i, : len(row)] = row
+        sequences[name] = (padded, np.asarray(lens, np.int32))
+    return DatasetArrays(
+        dense=np.asarray(dense_rows, np.float32),
+        categorical={k: np.asarray(v, np.int32) for k, v in cat_rows.items()},
+        sequences=sequences,
+        labels=np.asarray(label_rows, np.float32),
+    )
+
+
+def batches(
+    data: DatasetArrays,
+    batch_size: int,
+    num_epochs: int = 1,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = False,
+    max_steps: int | None = None,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Fixed-shape batch stream; partial tails are zero-padded with _weights."""
+    n = data.num_examples
+    steps = 0
+    for epoch in range(num_epochs):
+        order = (
+            np.random.default_rng((seed, epoch)).permutation(n)
+            if shuffle
+            else np.arange(n)
+        )
+        for start in range(0, n, batch_size):
+            idx = order[start : start + batch_size]
+            if len(idx) < batch_size:
+                if drop_remainder:
+                    break
+                pad = np.zeros(batch_size - len(idx), np.int64)
+                weights = np.concatenate(
+                    [np.ones(len(idx), np.float32), np.zeros(len(pad), np.float32)]
+                )
+                idx = np.concatenate([idx, pad])
+                batch = data.row_batch(idx)
+                batch["_weights"] = weights
+            else:
+                batch = data.row_batch(idx)
+            yield batch
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                return
+
+
+def prefetch(it: Iterator, depth: int = 1) -> Iterator:
+    """Background-thread prefetch (tf.data prefetch(1) parity)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

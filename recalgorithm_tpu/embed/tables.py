@@ -32,9 +32,16 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+# Table rows are padded up to a multiple of this so row-sharding divides
+# evenly on any mesh up to 256 chips; padding rows are unreachable (ids are
+# always <= vocab_size) and receive no gradient.
+ROW_ALIGN = 256
+
+
 @dataclasses.dataclass(frozen=True)
 class TableSpec:
-    """One embedding table: ``vocab_size`` real rows + 1 PAD/OOV row."""
+    """One embedding table: ``vocab_size`` real rows + 1 PAD/OOV row,
+    row-padded to ROW_ALIGN for even sharding."""
 
     name: str
     vocab_size: int
@@ -42,7 +49,8 @@ class TableSpec:
 
     @property
     def num_rows(self) -> int:
-        return self.vocab_size + 1
+        needed = self.vocab_size + 1
+        return ((needed + ROW_ALIGN - 1) // ROW_ALIGN) * ROW_ALIGN
 
 
 def _table_init(dim: int):

@@ -1,0 +1,30 @@
+"""Model zoo: importing this package populates the registry.
+
+16 reference models + ESMM (listed-but-unimplemented in the reference).
+Use ``recalgorithm_tpu.models.get_model(name)`` for (config_cls, model_cls).
+"""
+
+from recalgorithm_tpu.models.common import MODEL_REGISTRY, get_model, register_model
+
+# import order is alphabetical-ish; each module registers itself
+from recalgorithm_tpu.models import (  # noqa: F401
+    afm,
+    bst,
+    dcn,
+    deep_crossing,
+    deepfm,
+    dien,
+    din,
+    esmm,
+    ffm,
+    fibinet,
+    fwfm,
+    mmoe,
+    nfm,
+    ple,
+    pnn,
+    wide_and_deep,
+    xdeepfm,
+)
+
+__all__ = ["MODEL_REGISTRY", "get_model", "register_model"]

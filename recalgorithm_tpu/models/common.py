@@ -120,6 +120,38 @@ class FieldEmbedder(nn.Module):
         return self.field_list(batch)
 
 
+class FirstOrderLogit(nn.Module):
+    """FM first-order term: Dense(1) over one-hot indicators == per-id weight sum.
+
+    The reference materialises full one-hot vectors and a Dense(1)
+    (deepfm.py:179-181, ffm.py:123-125) — O(B x |V|) memory.  A weight-per-id
+    table lookup is the same linear map computed sparsely; PAD/OOV ids (0)
+    contribute nothing, matching the all-zero one-hot row TF produces for OOV.
+    Tables are created inside a nested collection named 'embed_w' so the mesh
+    sharding rules row-shard them with the other tables.
+    """
+
+    schema: Schema
+    fields: Sequence[tuple[str, str, str]]  # (batch_key, vocab, scalar|sum|mean)
+
+    @nn.compact
+    def __call__(self, batch) -> jax.Array:  # (B,)
+        tables = {
+            vocab: TableSpec(vocab, self.schema.vocab_sizes[vocab], 1)
+            for _, vocab, _ in self.fields
+        }
+        embed = EmbeddingCollection(tables=tables, name="embed_w")
+        total = self.param("bias", nn.initializers.zeros, (1,))[0]
+        out = jnp.zeros((), jnp.float32)
+        for key, vocab, kind in self.fields:
+            if kind == "scalar":
+                w = embed.embed_scalar(vocab, batch[key])[:, 0]
+            else:
+                w = embed.embed_pooled(vocab, batch[key], kind)[:, 0]
+            out = out + w
+        return out + total
+
+
 def stack_fields(field_list: list[jax.Array]) -> jax.Array:
     """list of (B, K) with equal K -> (B, F, K)."""
     return jnp.stack(field_list, axis=1)

@@ -115,6 +115,7 @@ class InnerProductLayer(nn.Module):
     """
 
     output_dim: int
+    weight_regularizer: float = 0.0
 
     @nn.compact
     def __call__(self, field_emb: jax.Array) -> jax.Array:  # (B, F, K) -> (B, D)
@@ -122,6 +123,12 @@ class InnerProductLayer(nn.Module):
         theta = self.param(
             "inner_product_w", glorot_uniform, (self.output_dim, num_fields)
         )
+        if self.weight_regularizer > 0:
+            # tf.contrib.layers.l2_regularizer parity: scale * sum(w^2) / 2
+            self.sow(
+                "losses", "weight_l2",
+                0.5 * self.weight_regularizer * jnp.sum(jnp.square(theta)),
+            )
         delta = jnp.einsum("df,bfk->bdk", theta, field_emb, precision=_HI)
         return jnp.sum(jnp.square(delta), axis=-1)
 
@@ -135,11 +142,17 @@ class OuterProductLayer(nn.Module):
     """
 
     output_dim: int
+    weight_regularizer: float = 0.0
 
     @nn.compact
     def __call__(self, field_emb: jax.Array) -> jax.Array:  # (B, F, K) -> (B, D)
         k = field_emb.shape[-1]
         w = self.param("outer_product_w", glorot_uniform, (self.output_dim, k, k))
+        if self.weight_regularizer > 0:
+            self.sow(
+                "losses", "weight_l2",
+                0.5 * self.weight_regularizer * jnp.sum(jnp.square(w)),
+            )
         upper = jnp.triu(w)
         w_sym = upper + jnp.swapaxes(upper, -1, -2) - jnp.triu(jnp.tril(w))
         s = jnp.sum(field_emb, axis=1)  # (B, K)

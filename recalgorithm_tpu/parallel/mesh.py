@@ -57,8 +57,8 @@ def is_embedding_table_path(path: tuple) -> bool:
     Framework convention: every model instantiates its EmbeddingCollection as
     ``name='embed'`` so sharding rules need no per-model configuration.
     """
-    keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
-    return "embed" in keys
+    keys = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+    return any(k.startswith("embed") for k in keys)
 
 
 def param_specs(params) -> object:

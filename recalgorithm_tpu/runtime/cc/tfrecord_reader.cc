@@ -1,0 +1,376 @@
+// Native TFRecord + SequenceExample batch reader.
+//
+// The reference relies on TF's C++ tf.data runtime for input
+// (algorithm/utils.py:18-26); this framework's native equivalent parses the
+// identical on-disk format (TFRecord framing + protobuf wire format for
+// tf.train.SequenceExample) and emits fixed-shape, vocabulary-translated
+// arrays directly into caller-provided buffers — one pass, no Python object
+// churn, no TensorFlow dependency.  Exposed to Python via ctypes
+// (runtime/loader.py); the pure-Python parser in data/tfrecord.py is the
+// behavioural oracle (tests/test_runtime_native.py asserts equivalence).
+//
+// Build: see runtime/build.sh (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// crc32c (software, slice-by-1; verification is optional and off by default)
+// ---------------------------------------------------------------------------
+
+uint32_t crc_table[256];
+bool crc_init_done = false;
+
+void crc_init() {
+  if (crc_init_done) return;
+  const uint32_t poly = 0x82F63B78u;
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t crc = i;
+    for (int j = 0; j < 8; ++j) crc = (crc >> 1) ^ ((crc & 1) ? poly : 0);
+    crc_table[i] = crc;
+  }
+  crc_init_done = true;
+}
+
+uint32_t crc32c(const uint8_t* data, size_t n) {
+  crc_init();
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; ++i)
+    crc = crc_table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
+
+uint32_t masked_crc(const uint8_t* data, size_t n) {
+  uint32_t crc = crc32c(data, n);
+  return ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+}
+
+// ---------------------------------------------------------------------------
+// protobuf wire-format primitives
+// ---------------------------------------------------------------------------
+
+struct Slice {
+  const uint8_t* p;
+  size_t n;
+};
+
+bool read_varint(Slice& s, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (s.n > 0) {
+    uint8_t b = *s.p;
+    s.p++;
+    s.n--;
+    result |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+    if (shift > 63) return false;
+  }
+  return false;
+}
+
+// Iterates fields of one message; calls visit(field, wire, payload).
+template <typename F>
+bool iter_fields(Slice msg, F&& visit) {
+  while (msg.n > 0) {
+    uint64_t tag;
+    if (!read_varint(msg, &tag)) return false;
+    uint32_t field = static_cast<uint32_t>(tag >> 3);
+    uint32_t wire = static_cast<uint32_t>(tag & 7);
+    Slice payload{nullptr, 0};
+    uint64_t varint_val = 0;
+    switch (wire) {
+      case 0:
+        if (!read_varint(msg, &varint_val)) return false;
+        payload.p = reinterpret_cast<const uint8_t*>(&varint_val);
+        payload.n = 8;
+        visit(field, wire, payload, varint_val);
+        continue;
+      case 2: {
+        uint64_t len;
+        if (!read_varint(msg, &len) || len > msg.n) return false;
+        payload = {msg.p, static_cast<size_t>(len)};
+        msg.p += len;
+        msg.n -= len;
+        break;
+      }
+      case 5:
+        if (msg.n < 4) return false;
+        payload = {msg.p, 4};
+        msg.p += 4;
+        msg.n -= 4;
+        break;
+      case 1:
+        if (msg.n < 8) return false;
+        payload = {msg.p, 8};
+        msg.p += 8;
+        msg.n -= 8;
+        break;
+      default:
+        return false;
+    }
+    visit(field, wire, payload, varint_val);
+  }
+  return true;
+}
+
+// Feature message: kind 1 bytes_list / 2 float_list / 3 int64_list.
+struct FeatureView {
+  int kind = 0;                       // 0 = absent
+  std::vector<Slice> bytes_values;    // kind 1
+  std::vector<float> float_values;    // kind 2
+  std::vector<int64_t> int_values;    // kind 3
+};
+
+void parse_feature(Slice buf, FeatureView* out) {
+  iter_fields(buf, [&](uint32_t field, uint32_t wire, Slice val, uint64_t) {
+    if (field == 1) {  // BytesList
+      out->kind = 1;
+      iter_fields(val, [&](uint32_t f2, uint32_t, Slice v, uint64_t) {
+        if (f2 == 1) out->bytes_values.push_back(v);
+      });
+    } else if (field == 2) {  // FloatList
+      out->kind = 2;
+      iter_fields(val, [&](uint32_t f2, uint32_t w2, Slice v, uint64_t) {
+        if (f2 != 1) return;
+        if (w2 == 2) {  // packed
+          size_t cnt = v.n / 4;
+          for (size_t i = 0; i < cnt; ++i) {
+            float f;
+            std::memcpy(&f, v.p + 4 * i, 4);
+            out->float_values.push_back(f);
+          }
+        } else if (w2 == 5) {
+          float f;
+          std::memcpy(&f, v.p, 4);
+          out->float_values.push_back(f);
+        }
+      });
+    } else if (field == 3) {  // Int64List
+      out->kind = 3;
+      iter_fields(val, [&](uint32_t f2, uint32_t w2, Slice v, uint64_t x) {
+        if (f2 != 1) return;
+        if (w2 == 2) {  // packed varints
+          Slice s = v;
+          uint64_t y;
+          while (s.n > 0 && read_varint(s, &y))
+            out->int_values.push_back(static_cast<int64_t>(y));
+        } else if (w2 == 0) {
+          out->int_values.push_back(static_cast<int64_t>(x));
+        }
+      });
+    }
+  });
+}
+
+struct MapEntry {
+  Slice key{nullptr, 0};
+  Slice value{nullptr, 0};
+};
+
+MapEntry parse_map_entry(Slice buf) {
+  MapEntry e;
+  iter_fields(buf, [&](uint32_t field, uint32_t, Slice val, uint64_t) {
+    if (field == 1) e.key = val;
+    else if (field == 2) e.value = val;
+  });
+  return e;
+}
+
+// ---------------------------------------------------------------------------
+// Vocabulary: token -> 1-based id (0 = PAD/OOV), loaded from the ETL's txts.
+// ---------------------------------------------------------------------------
+
+struct Vocab {
+  std::unordered_map<std::string, int32_t> map;
+  int32_t lookup(Slice tok) const {
+    auto it = map.find(std::string(reinterpret_cast<const char*>(tok.p), tok.n));
+    return it == map.end() ? 0 : it->second;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Opaque reader handle holding the schema layout + vocabularies.
+struct Reader {
+  // feature name tables (flat, index-addressed from Python)
+  std::vector<std::string> dense_names;
+  std::vector<std::string> label_names;
+  std::vector<std::string> cat_names;
+  std::vector<std::string> seq_names;
+  std::vector<int32_t> seq_max_len;
+  std::vector<Vocab> cat_vocabs;  // aligned with cat_names
+  std::vector<Vocab> seq_vocabs;  // aligned with seq_names
+};
+
+Reader* reader_create() { return new Reader(); }
+void reader_destroy(Reader* r) { delete r; }
+
+void reader_add_dense(Reader* r, const char* name) {
+  r->dense_names.emplace_back(name);
+}
+void reader_add_label(Reader* r, const char* name) {
+  r->label_names.emplace_back(name);
+}
+
+// vocab_blob: '\n'-separated tokens in file order (line i -> id i+1).
+static Vocab make_vocab(const char* blob, int64_t blob_len) {
+  Vocab v;
+  int32_t id = 1;
+  const char* p = blob;
+  const char* end = blob + blob_len;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    size_t len = nl ? static_cast<size_t>(nl - p) : static_cast<size_t>(end - p);
+    if (len > 0) v.map.emplace(std::string(p, len), id++);
+    p += len + 1;
+  }
+  return v;
+}
+
+void reader_add_categorical(Reader* r, const char* name, const char* vocab_blob,
+                            int64_t blob_len) {
+  r->cat_names.emplace_back(name);
+  r->cat_vocabs.push_back(make_vocab(vocab_blob, blob_len));
+}
+
+void reader_add_sequence(Reader* r, const char* name, int32_t max_len,
+                         const char* vocab_blob, int64_t blob_len) {
+  r->seq_names.emplace_back(name);
+  r->seq_max_len.push_back(max_len);
+  r->seq_vocabs.push_back(make_vocab(vocab_blob, blob_len));
+}
+
+// Parses up to `capacity` SequenceExamples from a TFRecord file into
+// caller-provided row-major buffers.  Returns rows read, or -1 on error.
+//   dense_out  : (capacity, n_dense) f32
+//   labels_out : (capacity, n_labels) f32
+//   cat_out    : (capacity, n_cat) i32  (column-per-categorical)
+//   seq_out    : concatenated per-seq blocks: for seq s with max_len T_s,
+//                block of (capacity, T_s) i32 at offset seq_offsets[s]
+//   seq_len_out: (capacity, n_seq) i32
+int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
+                         float* dense_out, float* labels_out, int32_t* cat_out,
+                         int32_t* seq_out, const int64_t* seq_offsets,
+                         int32_t* seq_len_out, int32_t verify_crc) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  const size_t n_dense = r->dense_names.size();
+  const size_t n_labels = r->label_names.size();
+  const size_t n_cat = r->cat_names.size();
+  const size_t n_seq = r->seq_names.size();
+
+  std::vector<uint8_t> buf;
+  int64_t row = 0;
+  uint8_t header[12];
+  while (row < capacity && fread(header, 1, 12, f) == 12) {
+    uint64_t len;
+    std::memcpy(&len, header, 8);
+    if (verify_crc) {
+      uint32_t want;
+      std::memcpy(&want, header + 8, 4);
+      if (masked_crc(header, 8) != want) break;
+    }
+    buf.resize(len + 4);
+    if (fread(buf.data(), 1, len + 4, f) != len + 4) break;
+    if (verify_crc) {
+      uint32_t want;
+      std::memcpy(&want, buf.data() + len, 4);
+      if (masked_crc(buf.data(), len) != want) break;
+    }
+
+    // zero-init this row
+    std::memset(dense_out + row * n_dense, 0, n_dense * 4);
+    std::memset(labels_out + row * n_labels, 0, n_labels * 4);
+    for (size_t c = 0; c < n_cat; ++c) cat_out[row * n_cat + c] = 0;
+    for (size_t s = 0; s < n_seq; ++s) {
+      int32_t t = r->seq_max_len[s];
+      std::memset(seq_out + seq_offsets[s] + row * t, 0, t * 4);
+      seq_len_out[row * n_seq + s] = 0;
+    }
+
+    Slice msg{buf.data(), static_cast<size_t>(len)};
+    iter_fields(msg, [&](uint32_t field, uint32_t, Slice val, uint64_t) {
+      if (field == 1) {  // context Features
+        iter_fields(val, [&](uint32_t f2, uint32_t, Slice entry, uint64_t) {
+          if (f2 != 1) return;
+          MapEntry e = parse_map_entry(entry);
+          std::string key(reinterpret_cast<const char*>(e.key.p), e.key.n);
+          FeatureView fv;
+          // dense / labels (float)
+          for (size_t d = 0; d < n_dense; ++d) {
+            if (key == r->dense_names[d]) {
+              parse_feature(e.value, &fv);
+              if (!fv.float_values.empty())
+                dense_out[row * n_dense + d] = fv.float_values[0];
+              return;
+            }
+          }
+          for (size_t l = 0; l < n_labels; ++l) {
+            if (key == r->label_names[l]) {
+              parse_feature(e.value, &fv);
+              if (!fv.float_values.empty())
+                labels_out[row * n_labels + l] = fv.float_values[0];
+              return;
+            }
+          }
+          for (size_t c = 0; c < n_cat; ++c) {
+            if (key == r->cat_names[c]) {
+              parse_feature(e.value, &fv);
+              if (!fv.bytes_values.empty())
+                cat_out[row * n_cat + c] =
+                    r->cat_vocabs[c].lookup(fv.bytes_values[0]);
+              return;
+            }
+          }
+        });
+      } else if (field == 2) {  // feature_lists
+        iter_fields(val, [&](uint32_t f2, uint32_t, Slice entry, uint64_t) {
+          if (f2 != 1) return;
+          MapEntry e = parse_map_entry(entry);
+          std::string key(reinterpret_cast<const char*>(e.key.p), e.key.n);
+          for (size_t s = 0; s < n_seq; ++s) {
+            if (key != r->seq_names[s]) continue;
+            const int32_t t_max = r->seq_max_len[s];
+            // collect tokens, keep the LAST t_max (ETL truncation parity,
+            // DataGenerator.py:273-276 truncates at write time; re-applied
+            // defensively here)
+            std::vector<Slice> toks;
+            iter_fields(e.value, [&](uint32_t f3, uint32_t, Slice fbuf,
+                                     uint64_t) {
+              if (f3 != 1) return;
+              FeatureView fv;
+              parse_feature(fbuf, &fv);
+              if (!fv.bytes_values.empty()) toks.push_back(fv.bytes_values[0]);
+            });
+            size_t start = toks.size() > static_cast<size_t>(t_max)
+                               ? toks.size() - t_max
+                               : 0;
+            int32_t* dst = seq_out + seq_offsets[s] + row * t_max;
+            int32_t cnt = 0;
+            for (size_t i = start; i < toks.size(); ++i)
+              dst[cnt++] = r->seq_vocabs[s].lookup(toks[i]);
+            seq_len_out[row * n_seq + s] = cnt;
+            return;
+          }
+        });
+      }
+    });
+    ++row;
+  }
+  fclose(f);
+  return row;
+}
+
+}  // extern "C"

@@ -116,6 +116,15 @@ class Trainer:
 
     # -- steps ---------------------------------------------------------------
 
+    def _task_label(self, batch, task):
+        """Label column for a task; models may derive joint labels (ESMM)."""
+        label_idx = {name: i for i, name in enumerate(self.model.schema.labels)}
+        if task in label_idx:
+            return batch["labels"][:, label_idx[task]]
+        if hasattr(self.model, "derived_label"):
+            return self.model.derived_label(task, batch)
+        raise KeyError(f"task {task!r} has no label column or derivation")
+
     def _loss_and_logits(self, params, batch_stats, batch, train, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         mutable = ["batch_stats", "losses"] if train else ["losses"]
@@ -125,12 +134,9 @@ class Trainer:
         )
         weights = batch.get("_weights")
         total = jnp.zeros((), jnp.float32)
-        label_idx = {
-            name: i for i, name in enumerate(self.model.schema.labels)
-        }
         per_task = {}
         for task in self.task_names:
-            y = batch["labels"][:, label_idx[task]]
+            y = self._task_label(batch, task)
             ce = optax.sigmoid_binary_cross_entropy(logits[task], y)
             if weights is not None:
                 ce = ce * weights
@@ -147,10 +153,9 @@ class Trainer:
 
     def _update_metrics(self, state: TrainState, batch, logits, loss):
         weights = batch.get("_weights")
-        label_idx = {name: i for i, name in enumerate(self.model.schema.labels)}
         tms = {}
         for task in self.task_names:
-            y = batch["labels"][:, label_idx[task]]
+            y = self._task_label(batch, task)
             p = jax.nn.sigmoid(logits[task])
             tm = state.task_metrics[task]
             tms[task] = TaskMetrics(

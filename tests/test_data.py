@@ -1,0 +1,121 @@
+"""Data layer tests: TFRecord wire-format roundtrip, pipeline batching, vocab."""
+
+import numpy as np
+
+from recalgorithm_tpu.data import pipeline, tfrecord
+from recalgorithm_tpu.features.schema import wechat_schema
+from recalgorithm_tpu.features.vocab import Vocabulary, VocabularyStore
+
+
+def _write_tiny_dataset(tmp_path, n=7):
+    """Reference-format SequenceExample TFRecord + vocabulary dir."""
+    schema = wechat_schema()
+    vocab_dir = tmp_path / "vocabulary"
+    vocab_dir.mkdir()
+    vocab_tokens = {
+        "userid": [f"userid_{i}" for i in range(5)],
+        "feedid": [f"feedid_{i}" for i in range(9)],
+        "device": ["device_1", "device_2"],
+        "authorid": [f"authorid_{i}" for i in range(4)],
+        "bgm_song_id": [f"bgm_song_id_{i}" for i in range(3)],
+        "bgm_singer_id": [f"bgm_singer_id_{i}" for i in range(3)],
+        "manual_tag_id": [f"manual_tag_id_{i}" for i in range(6)],
+    }
+    for name, toks in vocab_tokens.items():
+        (vocab_dir / f"{name}.txt").write_text("\n".join(toks) + "\n")
+
+    rng = np.random.default_rng(0)
+    payloads = []
+    rows = []
+    for i in range(n):
+        context = {}
+        for dname in schema.dense_names:
+            context[dname] = ("float", [float(rng.random())])
+        for label in schema.labels:
+            context[label] = ("float", [float(rng.integers(0, 2))])
+        cats = {
+            "userid": f"userid_{i % 5}",
+            "feedid": f"feedid_{i % 9}",
+            "device": "device_1",
+            "authorid": f"authorid_{i % 4}",
+            "bgm_song_id": "" if i == 3 else f"bgm_song_id_{i % 3}",  # missing case
+            "bgm_singer_id": f"bgm_singer_id_{i % 3}",
+        }
+        for cname, tok in cats.items():
+            context[cname] = ("bytes", [tok.encode()])
+        seq = [f"feedid_{j % 9}" for j in range(i % 4)]  # incl. empty sequences
+        tags = [f"manual_tag_id_{j}" for j in range((i % 3) + 1)]
+        fl = {
+            "his_read_comment_7d_seq": ("bytes", seq),
+            "manual_tag_list": ("bytes", tags),
+        }
+        payloads.append(tfrecord.encode_sequence_example(context, fl))
+        rows.append((context, seq, tags))
+    path = tmp_path / "train.tfrecord"
+    tfrecord.write_records(str(path), payloads)
+    return str(path), str(vocab_dir), rows
+
+
+def test_wire_roundtrip(tmp_path):
+    context = {
+        "x": ("float", [1.5, -2.0]),
+        "name": ("bytes", [b"feedid_7"]),
+        "count": ("int64", [42, 7]),
+    }
+    fl = {"seq": ("bytes", ["a", "b", "c"])}
+    buf = tfrecord.encode_sequence_example(context, fl)
+    ctx, lists = tfrecord.parse_sequence_example(buf)
+    assert ctx["x"][0] == "float"
+    np.testing.assert_allclose(ctx["x"][1], [1.5, -2.0], rtol=1e-6)
+    assert ctx["name"][1] == [b"feedid_7"]
+    assert ctx["count"][1] == [42, 7]
+    assert [v[1][0] for v in lists["seq"]] == [b"a", b"b", b"c"]
+
+
+def test_tfrecord_file_roundtrip(tmp_path):
+    p = tmp_path / "t.tfrecord"
+    tfrecord.write_records(str(p), [b"hello", b"", b"world" * 100])
+    got = list(tfrecord.read_records(str(p)))
+    assert got == [b"hello", b"", b"world" * 100]
+
+
+def test_load_and_batch(tmp_path):
+    path, vocab_dir, rows = _write_tiny_dataset(tmp_path)
+    vocabs = VocabularyStore.from_dir(vocab_dir)
+    schema = wechat_schema(vocabs.sizes())
+    data = pipeline.load_tfrecord_dataset(path, schema, vocabs)
+    assert data.num_examples == 7
+    # translated ids: row 0 userid 'userid_0' -> id 1
+    assert data.categorical["userid"][0] == 1
+    # missing bgm_song_id on row 3 -> PAD id 0
+    assert data.categorical["bgm_song_id"][3] == 0
+    # sequence lengths match what was written
+    np.testing.assert_array_equal(
+        data.sequences["his_read_comment_7d_seq"][1],
+        np.array([len(r[1]) for r in rows], np.int32),
+    )
+    # batching pads the tail with a weight mask
+    bs = list(pipeline.batches(data, batch_size=4, shuffle=False))
+    assert len(bs) == 2
+    assert "_weights" not in bs[0]
+    np.testing.assert_array_equal(bs[1]["_weights"], [1, 1, 1, 0])
+    # every batch has identical shapes
+    for k in bs[0]:
+        assert bs[0][k].shape == bs[1][k].shape
+
+    # prefetch wrapper preserves the stream
+    pf = list(pipeline.prefetch(pipeline.batches(data, 4, shuffle=False)))
+    assert len(pf) == 2
+    np.testing.assert_array_equal(pf[0]["labels"], bs[0]["labels"])
+
+
+def test_shuffle_covers_all_rows(tmp_path):
+    path, vocab_dir, _ = _write_tiny_dataset(tmp_path)
+    vocabs = VocabularyStore.from_dir(vocab_dir)
+    schema = wechat_schema(vocabs.sizes())
+    data = pipeline.load_tfrecord_dataset(path, schema, vocabs)
+    seen = []
+    for b in pipeline.batches(data, 4, shuffle=True, seed=1):
+        w = b.get("_weights", np.ones(4))
+        seen.extend(b["userid"][w > 0].tolist())
+    assert sorted(seen) == sorted(data.categorical["userid"].tolist())

@@ -56,7 +56,7 @@ def test_shared_tables_merge():
         vocab_sizes={"feedid": 100, "userid": 50},
     )
     assert set(specs) == {"feedid", "userid"}
-    assert specs["feedid"].num_rows == 101
+    assert specs["feedid"].num_rows == 256  # 101 padded to ROW_ALIGN
 
 
 def test_vocabulary_roundtrip(tmp_path):
