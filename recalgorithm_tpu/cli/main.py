@@ -131,10 +131,10 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
 
         vocabs = VocabularyStore.from_dir(args.vocabulary_dir)
         schema = wechat_schema(vocabs.sizes())
-        train_arrays = pipeline.load_tfrecord_dataset(
+        train_arrays = pipeline.load_dataset(
             args.train_data, schema, vocabs, limit=args.limit_examples
         )
-        eval_arrays = pipeline.load_tfrecord_dataset(
+        eval_arrays = pipeline.load_dataset(
             args.eval_data, schema, vocabs, limit=args.limit_examples
         )
         train_iter = pipeline.prefetch(

@@ -1,0 +1,248 @@
+"""WeChat Channels ETL: raw CSVs -> vocabularies, features, dataframes, TFRecords.
+
+Re-implements the reference's offline feature engineering
+(dataset/wechat_algo_data1/DataGenerator.py) with vectorised pandas (the
+reference iterates rows with iterrows/apply) and this framework's native
+TFRecord writer (no TensorFlow).  Layout and semantics parity:
+
+  * vocabulary/*.txt — one token per line, first-occurrence order, prefixed
+    ids ("feedid_123"); userid/device scoped to date_ in [8, 14]
+    (DataGenerator.py:180-204),
+  * 7 sliding 7-day windows (feature date_ = window start + 7 in 8..14):
+    per-user action sums, per-feed action sums, user read_comment feedid
+    sequence truncated to the LAST 50, user x author read_comment sum kept
+    only where > 0 (DataGenerator.py:239-338),
+  * sample table: user_action date 8..14 left-joined with feed_info and all
+    aggregates; dense features log1p'd with NaN -> 0
+    (DataGenerator.py:374-377); train = date 8..13, test = date 14,
+  * tfrecord/{train,test}.tfrecord — SequenceExample with float context
+    dense/labels, bytes context categoricals ('' when missing), bytes
+    sequence feature_lists (DataGenerator.py:406-443),
+  * idempotence sentinels per stage (VOCAB_FILE_ALREADY etc.,
+    DataGenerator.py:172-174).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from recalgorithm_tpu.data import tfrecord
+from recalgorithm_tpu.features.schema import (
+    MAX_HIS_SEQ_LEN,
+    WECHAT_DENSE_NAMES,
+    WECHAT_LABELS,
+)
+
+ACTION_COLUMNS = [
+    "read_comment", "like", "click_avatar", "forward", "comment", "follow",
+    "favorite",
+]
+END_DAY = 14
+
+
+class WeChatETL:
+    """Generate vocabulary/feature/dataframe/tfrecord artifacts.
+
+    Args:
+      dataset_dir: directory containing user_action.csv and feed_info.csv.
+      out_path: output root (vocabulary/, dataframe/, tfrecord/ created here).
+    """
+
+    def __init__(self, dataset_dir: str = "./", out_path: str = "./"):
+        self.dataset_dir = dataset_dir
+        self.out_path = out_path
+        self.vocab_dir = os.path.join(out_path, "vocabulary")
+        self.dataframe_dir = os.path.join(out_path, "dataframe")
+        self.tfrecord_dir = os.path.join(out_path, "tfrecord")
+
+    def run(self) -> None:
+        import pandas as pd  # deferred: heavy import
+
+        user_action, feed_info = self._load(pd)
+        self._generate_vocabulary(pd, user_action, feed_info)
+        frames = self._generate_features(pd, user_action, feed_info)
+        train_df, test_df = self._generate_dataframe(
+            pd, user_action, feed_info, frames
+        )
+        self._generate_tfrecord(pd, train_df, "train.tfrecord")
+        self._generate_tfrecord(pd, test_df, "test.tfrecord")
+
+    # -- stages ---------------------------------------------------------------
+
+    def _load(self, pd):
+        user_action = pd.read_csv(os.path.join(self.dataset_dir, "user_action.csv"))
+        feed_info = pd.read_csv(
+            os.path.join(self.dataset_dir, "feed_info.csv"),
+            usecols=[
+                "feedid", "authorid", "videoplayseconds", "bgm_song_id",
+                "bgm_singer_id", "manual_tag_list",
+            ],
+        )
+        # prefix ids (DataGenerator.py:137-159); vectorised
+        feed_info["feedid"] = "feedid_" + feed_info["feedid"].astype(str)
+        feed_info["authorid"] = "authorid_" + feed_info["authorid"].astype(str)
+        for col in ("bgm_song_id", "bgm_singer_id"):
+            vals = feed_info[col]
+            feed_info[col] = np.where(
+                vals.isna(), np.nan,
+                col + "_" + vals.astype("Int64").astype(str),
+            )
+        feed_info["manual_tag_list"] = feed_info["manual_tag_list"].map(
+            lambda s: ["manual_tag_id_" + t for t in s.split(";")]
+            if isinstance(s, str)
+            else np.nan
+        )
+        user_action["userid"] = "userid_" + user_action["userid"].astype(str)
+        user_action["feedid"] = "feedid_" + user_action["feedid"].astype(str)
+        user_action["device"] = "device_" + user_action["device"].astype(str)
+        return user_action, feed_info
+
+    def _generate_vocabulary(self, pd, user_action, feed_info) -> None:
+        os.makedirs(self.vocab_dir, exist_ok=True)
+        sentinel = os.path.join(self.vocab_dir, "VOCAB_FILE_ALREADY")
+        if os.path.exists(sentinel):
+            return
+        scope = user_action[user_action["date_"].between(8, 14)]
+
+        def uniq(series):
+            return list(dict.fromkeys(series.dropna()))
+
+        vocabs = {
+            "userid": uniq(scope["userid"]),
+            "device": uniq(scope["device"]),
+            "feedid": uniq(feed_info["feedid"]),
+            "authorid": uniq(feed_info["authorid"]),
+            "bgm_song_id": uniq(feed_info["bgm_song_id"]),
+            "bgm_singer_id": uniq(feed_info["bgm_singer_id"]),
+        }
+        tags: dict[str, None] = {}
+        for lst in feed_info["manual_tag_list"]:
+            if isinstance(lst, list):
+                for t in lst:
+                    tags.setdefault(t)
+        vocabs["manual_tag_id"] = list(tags)
+        for name, toks in vocabs.items():
+            with open(os.path.join(self.vocab_dir, name + ".txt"), "w") as f:
+                f.write("\n".join(toks) + ("\n" if toks else ""))
+        open(sentinel, "w").close()
+
+    def _generate_features(self, pd, user_action, feed_info) -> dict:
+        """The four aggregate frames, concatenated over the 7 windows."""
+        user_arr, seq_arr, feed_arr, cross_arr = [], [], [], []
+        cross_base = pd.merge(
+            user_action[["userid", "feedid", "date_", "read_comment"]],
+            feed_info[["feedid", "authorid"]],
+            on="feedid", how="left",
+        )
+        for start in range(1, END_DAY - 7 + 1):
+            date_val = start + 7
+            win = user_action[
+                (user_action["date_"] >= start) & (user_action["date_"] < start + 7)
+            ]
+            # user aggregates
+            ua = win.groupby("userid")[ACTION_COLUMNS].sum().reset_index()
+            ua.columns = ["userid"] + [f"u_{c}_7d_sum" for c in ACTION_COLUMNS]
+            ua["date_"] = date_val
+            user_arr.append(ua)
+            # user read_comment sequence (last 50)
+            seq = (
+                win[win["read_comment"] == 1]
+                .groupby("userid")["feedid"]
+                .agg(list)
+                .reset_index()
+                .rename(columns={"feedid": "his_read_comment_7d_seq"})
+            )
+            seq["his_read_comment_7d_seq"] = seq["his_read_comment_7d_seq"].map(
+                lambda lst: lst[-MAX_HIS_SEQ_LEN:]
+            )
+            seq["date_"] = date_val
+            seq_arr.append(seq)
+            # feed aggregates
+            fa = win.groupby("feedid")[ACTION_COLUMNS].sum().reset_index()
+            fa.columns = ["feedid"] + [f"i_{c}_7d_sum" for c in ACTION_COLUMNS]
+            fa["date_"] = date_val
+            feed_arr.append(fa)
+            # user x author read_comment aggregate, > 0 only
+            cw = cross_base[
+                (cross_base["date_"] >= start) & (cross_base["date_"] < start + 7)
+            ]
+            ca = (
+                cw.groupby(["userid", "authorid"])["read_comment"]
+                .sum()
+                .reset_index()
+                .rename(columns={"read_comment": "c_user_author_read_comment_7d_sum"})
+            )
+            ca = ca[ca["c_user_author_read_comment_7d_sum"] > 0]
+            ca["date_"] = date_val
+            cross_arr.append(ca)
+        return {
+            "user": pd.concat(user_arr, ignore_index=True),
+            "seq": pd.concat(seq_arr, ignore_index=True),
+            "feed": pd.concat(feed_arr, ignore_index=True),
+            "cross": pd.concat(cross_arr, ignore_index=True),
+        }
+
+    def _generate_dataframe(self, pd, user_action, feed_info, frames):
+        os.makedirs(self.dataframe_dir, exist_ok=True)
+        df = user_action[user_action["date_"].between(8, 14)]
+        df = pd.merge(df, feed_info, on="feedid", how="left")
+        df = pd.merge(df, frames["user"], on=["userid", "date_"], how="left")
+        df = pd.merge(df, frames["seq"], on=["userid", "date_"], how="left")
+        df = pd.merge(df, frames["feed"], on=["feedid", "date_"], how="left")
+        df = pd.merge(
+            df, frames["cross"], on=["userid", "authorid", "date_"], how="left"
+        )
+        for col in WECHAT_DENSE_NAMES:
+            # NaN -> 0 then log1p: log1p(0) == 0 == the reference's NaN fill
+            # (DataGenerator.py:374-377)
+            df[col] = np.log1p(df[col].fillna(0.0).astype(np.float64))
+        train = df[df["date_"].between(8, 13)]
+        test = df[df["date_"] == 14]
+        train.to_csv(os.path.join(self.dataframe_dir, "train.csv"), index=False)
+        test.to_csv(os.path.join(self.dataframe_dir, "test.csv"), index=False)
+        return train, test
+
+    def _generate_tfrecord(self, pd, df, fname: str) -> None:
+        os.makedirs(self.tfrecord_dir, exist_ok=True)
+        cats = ["userid", "feedid", "device", "authorid", "bgm_song_id",
+                "bgm_singer_id"]
+
+        def payloads():
+            for row in df.itertuples(index=False):
+                r = row._asdict()
+                context = {}
+                for name in WECHAT_DENSE_NAMES:
+                    context[name] = ("float", [float(r[name])])
+                for name in cats:
+                    v = r[name]
+                    tok = v if isinstance(v, str) else ""
+                    context[name] = ("bytes", [tok.encode()])
+                for name in WECHAT_LABELS:
+                    context[name] = ("float", [float(r[name])])
+                seq = r["his_read_comment_7d_seq"]
+                seq = seq if isinstance(seq, list) else []
+                tags = r["manual_tag_list"]
+                tags = tags if isinstance(tags, list) else []
+                fl = {
+                    "his_read_comment_7d_seq": ("bytes", seq),
+                    "manual_tag_list": ("bytes", tags),
+                }
+                yield tfrecord.encode_sequence_example(context, fl)
+
+        tfrecord.write_records(os.path.join(self.tfrecord_dir, fname), payloads())
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description="WeChat ETL (DataGenerator parity)")
+    p.add_argument("--dataset_dir", default="./")
+    p.add_argument("--out_path", default="./")
+    args = p.parse_args()
+    WeChatETL(args.dataset_dir, args.out_path).run()
+
+
+if __name__ == "__main__":
+    main()

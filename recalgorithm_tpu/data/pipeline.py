@@ -113,6 +113,24 @@ def load_tfrecord_dataset(
     )
 
 
+def load_dataset(
+    path: str,
+    schema: Schema,
+    vocabs: VocabularyStore,
+    limit: int | None = None,
+    prefer_native: bool = True,
+) -> DatasetArrays:
+    """Load via the C++ reader when buildable, else the Python parser."""
+    if prefer_native:
+        try:
+            from recalgorithm_tpu.runtime import loader
+
+            return loader.read_dataset(path, schema, vocabs, limit=limit)
+        except Exception:  # no compiler / build failure -> Python fallback
+            pass
+    return load_tfrecord_dataset(path, schema, vocabs, limit=limit)
+
+
 def batches(
     data: DatasetArrays,
     batch_size: int,
