@@ -33,9 +33,10 @@ def run_bench(batch_size: int = 4096, steps: int = 30, warmup: int = 5) -> dict:
     from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
 
     n_chips = len(jax.devices())
+    on_tpu = jax.devices()[0].platform != "cpu"
     gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=7))  # real vocab sizes
     schema = wechat_schema(gen.vocab_sizes())
-    cfg = DINConfig(batch_size=batch_size)
+    cfg = DINConfig(batch_size=batch_size, use_fused_attention=on_tpu)
     model = DIN(config=cfg, schema=schema)
     trainer = Trainer(
         model,

@@ -34,6 +34,8 @@ class DINAttention(nn.Module):
     """
 
     use_softmax: bool = False
+    fused: bool = False        # route through the Pallas kernel (TPU)
+    interpret: bool = False    # Pallas interpreter mode (CPU tests)
 
     @nn.compact
     def __call__(
@@ -43,11 +45,31 @@ class DINAttention(nn.Module):
         lengths: jax.Array,  # (B,) valid lengths
     ) -> jax.Array:
         b, t, h = keys.shape
+        f1 = Dense(64, name="f1_att")
+        f2 = Dense(32, name="f2_att")
+        f3 = Dense(1, name="f3_att")
+        if self.fused:
+            from recalgorithm_tpu.ops.pallas.din_attention import (
+                din_attention_fused,
+            )
+
+            # materialise the same param tree as the unfused path (the tiny
+            # dummy chain is dead code the compiler eliminates)
+            _ = f3(nn.relu(f2(nn.relu(f1(jnp.zeros((1, 4 * h)))))))
+            params = {
+                "f1_att": f1.variables["params"],
+                "f2_att": f2.variables["params"],
+                "f3_att": f3.variables["params"],
+            }
+            return din_attention_fused(
+                query, keys, lengths, params,
+                use_softmax=self.use_softmax, interpret=self.interpret,
+            )
         q = jnp.broadcast_to(query[:, None, :], (b, t, h))
         x = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)  # (B, T, 4H)
-        x = nn.relu(Dense(64, name="f1_att")(x))
-        x = nn.relu(Dense(32, name="f2_att")(x))
-        w = Dense(1, name="f3_att")(x)[..., 0]  # (B, T)
+        x = nn.relu(f1(x))
+        x = nn.relu(f2(x))
+        w = f3(x)[..., 0]  # (B, T)
 
         mask = sequence_mask(lengths, t)
         if self.use_softmax:

@@ -1,0 +1,79 @@
+"""Pallas kernel parity tests (interpreter mode on CPU; TPU-compiled in bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recalgorithm_tpu.ops.attention import DINAttention
+from recalgorithm_tpu.ops.pallas.din_attention import (
+    din_attention_fused,
+    din_attention_reference,
+)
+
+B, T, H = 32, 50, 16
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    lengths = jnp.asarray(
+        np.concatenate([[0, T], rng.integers(0, T + 1, B - 2)]).astype(np.int32)
+    )
+    att = DINAttention(use_softmax=False)
+    params = att.init(jax.random.key(0), q, k, lengths)["params"]
+    return q, k, lengths, params
+
+
+@pytest.mark.parametrize("use_softmax", [False, True])
+def test_fused_matches_module(data, use_softmax):
+    q, k, lengths, params = data
+    att = DINAttention(use_softmax=use_softmax)
+    want = np.asarray(att.apply({"params": params}, q, k, lengths))
+    got = np.asarray(
+        din_attention_fused(
+            q, k, lengths, params, use_softmax, 32, True  # interpret mode
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # and the reference recompute used in the backward pass agrees too
+    ref = np.asarray(
+        din_attention_reference(q, k, lengths, params, use_softmax)
+    )
+    np.testing.assert_allclose(ref, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("use_softmax", [False, True])
+def test_fused_gradients(data, use_softmax):
+    q, k, lengths, params = data
+
+    def loss_fused(q, k, p):
+        return jnp.sum(
+            din_attention_fused(q, k, lengths, p, use_softmax, 32, True) ** 2
+        )
+
+    def loss_plain(q, k, p):
+        att = DINAttention(use_softmax=use_softmax)
+        return jnp.sum(att.apply({"params": p}, q, k, lengths) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, params)
+    gp = jax.grad(loss_plain, argnums=(0, 1, 2))(q, k, params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_fused_module_path(data):
+    """DINAttention(fused=True, interpret=True) produces the same param tree."""
+    q, k, lengths, params = data
+    att = DINAttention(use_softmax=False, fused=True, interpret=True)
+    fused_params = att.init(jax.random.key(0), q, k, lengths)["params"]
+    assert jax.tree.structure(fused_params) == jax.tree.structure(params)
+    out = att.apply({"params": params}, q, k, lengths)
+    want = DINAttention(use_softmax=False).apply({"params": params}, q, k, lengths)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
