@@ -1,0 +1,77 @@
+"""Serving: load exported artifacts and run batch prediction.
+
+Replaces the reference's SavedModel/tf-serving path (BestExporter +
+build_parsing_serving_input_receiver_fn, wide_and_deep.py:342-355): the
+train loop's best-exporter writes ``export/best_<step>/params.msgpack``
+(+ metrics.json); this module loads one and serves probabilities.
+
+The serving input is the framework's standard translated batch (the host
+pipeline owns string->id, mirroring how TF-serving owned tf.Example parsing),
+so the same artifact serves both offline batch scoring and an online path
+that feeds pre-translated ids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Mapping
+
+import flax
+import jax
+import numpy as np
+
+
+class Predictor:
+    """Loads a best-export artifact and predicts per-task probabilities."""
+
+    def __init__(self, model, export_dir: str):
+        self.model = model
+        with open(os.path.join(export_dir, "params.msgpack"), "rb") as f:
+            blob = f.read()
+        # template from model.init shapes is not required: from_bytes with a
+        # None target returns the raw tree (msgpack state dict)
+        self.variables = flax.serialization.msgpack_restore(blob)
+        metrics_path = os.path.join(export_dir, "metrics.json")
+        self.export_metrics = (
+            json.load(open(metrics_path)) if os.path.exists(metrics_path) else {}
+        )
+        self._predict = jax.jit(self._predict_impl)
+
+    @staticmethod
+    def latest_best(model_dir: str) -> str:
+        """Path of the highest-AUC export under ``model_dir`` (best_exports.json)."""
+        best_path = os.path.join(model_dir, "best_exports.json")
+        with open(best_path) as f:
+            best = json.load(f)
+        if not best:
+            raise FileNotFoundError(f"no exports recorded in {best_path}")
+        _, step = max(best)
+        return os.path.join(model_dir, "export", f"best_{int(step)}")
+
+    def _predict_impl(self, batch):
+        logits, _ = self.model.apply(
+            {
+                "params": self.variables["params"],
+                "batch_stats": self.variables.get("batch_stats", {}),
+            },
+            batch, train=False, mutable=["losses"],
+        )
+        return jax.tree.map(jax.nn.sigmoid, logits)
+
+    def predict_batch(self, batch: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+        probs = self._predict({k: np.asarray(v) for k, v in batch.items()})
+        return {k: np.asarray(v) for k, v in probs.items()}
+
+    def predict(
+        self, batches: Iterable[Mapping[str, np.ndarray]]
+    ) -> dict[str, np.ndarray]:
+        outs: dict[str, list[np.ndarray]] = {}
+        for hb in batches:
+            probs = self.predict_batch(hb)
+            w = hb.get("_weights")
+            for task, p in probs.items():
+                if w is not None:
+                    p = p[np.asarray(w) > 0]
+                outs.setdefault(task, []).append(p)
+        return {t: np.concatenate(v) for t, v in outs.items()}

@@ -273,10 +273,13 @@ class Trainer:
         state: TrainState | None = None,
         log_fn: Callable[[str], None] = print,
     ) -> tuple[TrainState, dict[str, float]]:
+        from recalgorithm_tpu.utils.summary import SummaryWriter
+
         cfg = self.config
         self._compile()
         rng = jax.random.key(cfg.seed + 1)
         checkpointer = _Checkpointer(cfg.model_dir, cfg.keep_best)
+        summary = SummaryWriter(os.path.join(cfg.model_dir, "summaries"))
 
         train_iter = iter(train_batches)
         if state is None:
@@ -312,6 +315,8 @@ class Trainer:
                     )
                     + f" ({rate:,.0f} ex/s)"
                 )
+                summary.scalars(step, {f"train/{k}": v for k, v in snap.items()}
+                                | {"train/examples_per_s": rate})
                 t0, last_log_step = time.time(), step
             if cfg.save_checkpoints_steps and step % cfg.save_checkpoints_steps == 0:
                 checkpointer.save(state)
@@ -322,6 +327,7 @@ class Trainer:
             ):
                 ev = self.evaluate(state, eval_batches_fn())
                 log_fn(f"eval @ {step}: {ev}")
+                summary.scalars(step, {f"eval/{k}": v for k, v in ev.items()})
                 checkpointer.maybe_export_best(
                     state, ev[f"{self.task_names[0]}_auc"]
                 )
@@ -329,9 +335,13 @@ class Trainer:
         if eval_batches_fn is not None:
             final_eval = self.evaluate(state, eval_batches_fn())
             log_fn(f"final eval: {final_eval}")
+            summary.scalars(
+                int(state.step), {f"eval/{k}": v for k, v in final_eval.items()}
+            )
             checkpointer.maybe_export_best(
                 state, final_eval[f"{self.task_names[0]}_auc"]
             )
+        summary.close()
         checkpointer.close()
         return state, final_eval
 

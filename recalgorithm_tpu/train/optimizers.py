@@ -60,23 +60,19 @@ def ftrl(
     def update(grads, state, params=None):
         if params is None:
             raise ValueError("ftrl requires params")
-
-        def upd(g, z, n, w):
-            n_new = n + g * g
-            sigma = (n_new ** (-p) - n ** (-p)) / alpha
-            z_new = z + g - sigma * w
-            denom = n_new ** (-p) / alpha + 2.0 * l2
-            w_new = jnp.where(
-                jnp.abs(z_new) > l1,
-                -(z_new - jnp.sign(z_new) * l1) / denom,
-                0.0,
+        n_new = jax.tree.map(lambda g, n: n + g * g, grads, state.n)
+        z_new = jax.tree.map(
+            lambda z, g, nn, n, w: z + g - (nn ** (-p) - n ** (-p)) / alpha * w,
+            state.z, grads, n_new, state.n, params,
+        )
+        def w_next(zn, nn):
+            denom = nn ** (-p) / alpha + 2.0 * l2
+            return jnp.where(
+                jnp.abs(zn) > l1, -(zn - jnp.sign(zn) * l1) / denom, 0.0
             )
-            return w_new - w, z_new, n_new
-
-        out = jax.tree.map(upd, grads, state.z, state.n, params)
-        updates = jax.tree.map(lambda o: o[0], out, is_leaf=lambda x: isinstance(x, tuple))
-        z_new = jax.tree.map(lambda o: o[1], out, is_leaf=lambda x: isinstance(x, tuple))
-        n_new = jax.tree.map(lambda o: o[2], out, is_leaf=lambda x: isinstance(x, tuple))
+        updates = jax.tree.map(
+            lambda zn, nn, w: w_next(zn, nn) - w, z_new, n_new, params
+        )
         return updates, FtrlState(z=z_new, n=n_new)
 
     return optax.GradientTransformation(init, update)
@@ -111,28 +107,27 @@ def lazy_adam(
 
     def update(grads, state, params=None):
         del params
-
-        def upd(g, cnt, mu, nu):
-            touched = (g != 0).astype(g.dtype)
-            cnt_new = cnt + touched.astype(jnp.int32)
-            mu_new = jnp.where(touched > 0, b1 * mu + (1 - b1) * g, mu)
-            nu_new = jnp.where(touched > 0, b2 * nu + (1 - b2) * g * g, nu)
-            c = jnp.maximum(cnt_new, 1).astype(g.dtype)
-            mu_hat = mu_new / (1 - b1**c)
-            nu_hat = nu_new / (1 - b2**c)
-            step = -learning_rate * mu_hat / (jnp.sqrt(nu_hat) + eps)
-            return jnp.where(touched > 0, step, 0.0), cnt_new, mu_new, nu_new
-
-        out = jax.tree.map(upd, grads, state.count, state.mu, state.nu)
-        is_tup = lambda x: isinstance(x, tuple)
-        return (
-            jax.tree.map(lambda o: o[0], out, is_leaf=is_tup),
-            LazyAdamState(
-                count=jax.tree.map(lambda o: o[1], out, is_leaf=is_tup),
-                mu=jax.tree.map(lambda o: o[2], out, is_leaf=is_tup),
-                nu=jax.tree.map(lambda o: o[3], out, is_leaf=is_tup),
-            ),
+        cnt_new = jax.tree.map(
+            lambda g, c: c + (g != 0).astype(jnp.int32), grads, state.count
         )
+        mu_new = jax.tree.map(
+            lambda g, mu: jnp.where(g != 0, b1 * mu + (1 - b1) * g, mu),
+            grads, state.mu,
+        )
+        nu_new = jax.tree.map(
+            lambda g, nu: jnp.where(g != 0, b2 * nu + (1 - b2) * g * g, nu),
+            grads, state.nu,
+        )
+
+        def step(g, c, mu, nu):
+            cf = jnp.maximum(c, 1).astype(g.dtype)
+            mu_hat = mu / (1 - b1**cf)
+            nu_hat = nu / (1 - b2**cf)
+            s = -learning_rate * mu_hat / (jnp.sqrt(nu_hat) + eps)
+            return jnp.where(g != 0, s, 0.0)
+
+        updates = jax.tree.map(step, grads, cnt_new, mu_new, nu_new)
+        return updates, LazyAdamState(count=cnt_new, mu=mu_new, nu=nu_new)
 
     return optax.GradientTransformation(init, update)
 

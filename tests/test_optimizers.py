@@ -1,0 +1,73 @@
+"""Optimizer parity tests: FTRL closed form, LazyAdam sparsity, dual transform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recalgorithm_tpu.train import optimizers
+
+
+def test_ftrl_matches_closed_form():
+    """With constant gradient g and l1=l2=0, FTRL-proximal has the closed form
+    w_T = -(sum_t g - sum_t sigma_t w_t) / (sqrt(n_T)/alpha); verify against a
+    step-by-step NumPy simulation."""
+    alpha, acc0 = 0.1, 0.1
+    tx = optimizers.ftrl(alpha, initial_accumulator_value=acc0)
+    w = jnp.asarray([1.0, -2.0, 0.5])
+    params = {"w": w}
+    state = tx.init(params)
+
+    wn = np.asarray(w, np.float64)
+    z = np.zeros(3)
+    n = np.full(3, acc0)
+    g = np.asarray([0.3, -0.1, 0.05])
+    for _ in range(5):
+        updates, state = tx.update({"w": jnp.asarray(g, jnp.float32)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+        # numpy reference
+        n_new = n + g * g
+        sigma = (np.sqrt(n_new) - np.sqrt(n)) / alpha
+        z = z + g - sigma * wn
+        wn = -z / (np.sqrt(n_new) / alpha)
+        n = n_new
+    np.testing.assert_allclose(np.asarray(params["w"]), wn, rtol=1e-5)
+
+
+def test_ftrl_l1_sparsifies():
+    tx = optimizers.ftrl(0.1, l1_regularization_strength=10.0)
+    params = {"w": jnp.asarray([1.0])}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray([0.01])}, state, params)
+    # huge l1 drives the weight exactly to zero
+    np.testing.assert_allclose(np.asarray(params["w"] + updates["w"]), 0.0)
+
+
+def test_lazy_adam_skips_untouched_rows():
+    tx = optimizers.lazy_adam(0.1)
+    params = {"t": jnp.ones((4, 2))}
+    state = tx.init(params)
+    g = jnp.zeros((4, 2)).at[1].set(0.5)
+    updates, state = tx.update({"t": g}, state, params)
+    u = np.asarray(updates["t"])
+    assert np.all(u[0] == 0) and np.all(u[2] == 0) and np.all(u[3] == 0)
+    assert np.all(u[1] != 0)
+    # second step touching row 3 only: row 1 stays frozen
+    g2 = jnp.zeros((4, 2)).at[3].set(-0.2)
+    updates2, _ = tx.update({"t": g2}, state, params)
+    u2 = np.asarray(updates2["t"])
+    assert np.all(u2[1] == 0) and np.all(u2[3] != 0)
+
+
+def test_dual_wide_deep_routes_by_path():
+    tx = optimizers.dual_wide_deep(
+        wide_lr=0.5, deep_optimizer="sgd", deep_lr=0.1,
+        wide_predicate=lambda path: "wide" in str(path[0]),
+    )
+    params = {"wide_w": jnp.asarray([1.0]), "deep_w": jnp.asarray([1.0])}
+    state = tx.init(params)
+    g = {"wide_w": jnp.asarray([1.0]), "deep_w": jnp.asarray([1.0])}
+    updates, _ = tx.update(g, state, params)
+    # deep side: plain SGD -> -lr * g
+    np.testing.assert_allclose(np.asarray(updates["deep_w"]), [-0.1], rtol=1e-6)
+    # wide side: FTRL replaces the weight (update != -lr*g)
+    assert abs(float(updates["wide_w"][0]) + 0.5) > 1e-3

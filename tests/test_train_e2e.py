@@ -1,0 +1,99 @@
+"""End-to-end trainer tests: learn on synthetic data, checkpoint/resume,
+best-export + Predictor round trip, streaming AUC sanity, summaries."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+from recalgorithm_tpu.features.schema import wechat_schema
+from recalgorithm_tpu.models.deep_crossing import DeepCrossing, DeepCrossingConfig
+from recalgorithm_tpu.serving.predictor import Predictor
+from recalgorithm_tpu.train import metrics as M
+from recalgorithm_tpu.train import optimizers
+from recalgorithm_tpu.train.loop import Trainer, TrainerConfig, _Checkpointer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=3, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepCrossingConfig(batch_size=128, train_steps=60)
+    model = DeepCrossing(config=cfg, schema=schema)
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("adam", 0.005),
+        TrainerConfig(model_dir=str(tmp), train_steps=60, log_every=20,
+                      save_checkpoints_steps=30),
+    )
+    state, ev = trainer.train_and_evaluate(
+        gen.batches(128, 60),
+        lambda: gen.batches(128, 8, start_seed=5000),
+    )
+    return tmp, gen, schema, cfg, model, trainer, state, ev
+
+
+def test_model_learns(setup):
+    _, _, _, _, _, _, _, ev = setup
+    assert ev["read_comment_auc"] > 0.6
+    assert ev["loss"] < 0.6
+
+
+def test_checkpoint_resume(setup):
+    tmp, gen, _, cfg, model, trainer, state, _ = setup
+    trainer2 = Trainer(
+        model, cfg.task_names, optimizers.build("adam", 0.005),
+        TrainerConfig(model_dir=str(tmp), train_steps=60),
+    )
+    st = trainer2.init_state(gen.batch(128, 0))
+    ck = _Checkpointer(str(tmp), 5)
+    st = ck.restore_latest(st)
+    ck.close()
+    assert int(st.step) == 60
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(st.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        rtol=1e-6,
+    )
+
+
+def test_best_export_and_predictor(setup):
+    tmp, gen, _, cfg, model, trainer, state, ev = setup
+    export_dir = Predictor.latest_best(str(tmp))
+    assert os.path.isdir(export_dir)
+    pred = Predictor(model, export_dir)
+    probs = pred.predict(gen.batches(128, 4, start_seed=5000))
+    assert probs["read_comment"].shape == (512,)
+    assert np.all((probs["read_comment"] >= 0) & (probs["read_comment"] <= 1))
+    # predictor output matches trainer.predict on the same state
+    direct = trainer.predict(state, gen.batches(128, 4, start_seed=5000))
+    np.testing.assert_allclose(
+        probs["read_comment"], direct["read_comment"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_summaries_written(setup):
+    tmp, *_ = setup
+    path = tmp / "summaries" / "scalars.jsonl"
+    lines = [json.loads(x) for x in open(path)]
+    assert any("train/loss" in r for r in lines)
+    assert any("eval/read_comment_auc" in r for r in lines)
+
+
+def test_streaming_auc_matches_exact():
+    rng = np.random.default_rng(0)
+    labels = (rng.random(4000) < 0.3).astype(np.float32)
+    scores = np.clip(labels * 0.3 + rng.random(4000) * 0.7, 0, 1).astype(np.float32)
+    st = M.AUCState.init()
+    for i in range(0, 4000, 500):
+        st = M.auc_update(
+            st,
+            jax.numpy.asarray(labels[i : i + 500]),
+            jax.numpy.asarray(scores[i : i + 500]),
+        )
+    binned = float(M.auc_compute(st))
+    exact = M.exact_auc(labels, scores)
+    assert abs(binned - exact) < 0.005, (binned, exact)
