@@ -1,0 +1,78 @@
+"""Multi-host training support: process init + per-host batch assembly.
+
+The reference is strictly single-process (its PS/worker cluster flags are
+commented out, wide_and_deep.py:41-51).  This module adds the TPU-pod story:
+
+  * ``initialize()`` — `jax.distributed.initialize` from standard cluster env
+    (TPU pods auto-discover; explicit coordinator/process args for manual
+    setups), idempotent,
+  * ``global_batch()`` — assembles a globally-sharded batch from each host's
+    local shard via `jax.make_array_from_process_local_data`: every host
+    feeds batch_size/num_processes examples and the resulting arrays are
+    sharded over the mesh's ``data`` axis with no cross-host copies,
+  * ``host_shard_range()`` — which slice of a global file list / example
+    range this host should read (per-host input pipelines).
+
+With these, the Trainer's pjit step runs unchanged on N hosts: gradients
+psum over ICI/DCN via the sharded params, embedding exchanges ride the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from recalgorithm_tpu.parallel.mesh import DATA_AXIS
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Idempotent jax.distributed.initialize (no-op when single-process)."""
+    if jax.process_count() > 1 or getattr(initialize, "_done", False):
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process / already initialised — keep local devices
+        pass
+    initialize._done = True  # type: ignore[attr-defined]
+
+
+def host_shard_range(total: int) -> tuple[int, int]:
+    """[start, end) of a length-``total`` global range owned by this host."""
+    pid, n = jax.process_index(), jax.process_count()
+    per = total // n
+    start = pid * per
+    end = total if pid == n - 1 else start + per
+    return start, end
+
+
+def global_batch(
+    local_batch: Mapping[str, np.ndarray],
+    mesh: Mesh,
+    global_batch_size: int,
+) -> dict[str, jax.Array]:
+    """Host-local shard -> globally data-sharded device arrays.
+
+    Each host passes its (global_batch_size / process_count)-row slice; the
+    returned arrays have global shape (global_batch_size, ...) sharded over
+    the ``data`` axis with only this host's rows resident locally.
+    """
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    out = {}
+    for k, v in local_batch.items():
+        global_shape = (global_batch_size,) + tuple(v.shape[1:])
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, np.asarray(v), global_shape
+        )
+    return out

@@ -215,6 +215,14 @@ class Trainer:
     def _put_batch(self, batch: Mapping[str, np.ndarray]):
         batch = dict(batch)
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                # each host feeds its local shard; rows are per-host
+                from recalgorithm_tpu.parallel import multihost
+
+                local_rows = len(next(iter(batch.values())))
+                return multihost.global_batch(
+                    batch, self.mesh, local_rows * jax.process_count()
+                )
             sharding = mesh_lib.batch_sharding(self.mesh)
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jnp.asarray, batch)
