@@ -1,0 +1,117 @@
+"""Per-model TPU train-step benchmark: compiles and times every zoo model.
+
+Writes benchmarks/RESULTS.md (markdown table) and RESULTS.json.  Run on the
+real chip: `python benchmarks/run_all.py [--batch_size 4096] [--steps 20]`.
+
+Measures steady-state jitted train-step throughput (fwd+bwd+optimizer+metric
+update, donated state, device-resident batches) at reference-default
+hyperparameters and real-dataset vocabulary sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
+    import jax
+
+    from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+    from recalgorithm_tpu.train import optimizers
+    from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
+
+    cfg_cls, model_cls = MODEL_REGISTRY[name]
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=7))
+    schema = wechat_schema(gen.vocab_sizes())
+    kwargs = {"batch_size": batch_size}
+    if name == "DIN" and jax.devices()[0].platform != "cpu":
+        kwargs["use_fused_attention"] = True
+    cfg = cfg_cls(**kwargs)
+    model = model_cls(config=cfg, schema=schema)
+    opt = optimizers.build(getattr(cfg, "optimizer", "adam"), 1e-3)
+    trainer = Trainer(
+        model, cfg.task_names, opt,
+        TrainerConfig(model_dir=f"/tmp/bench_{name}", train_steps=steps,
+                      save_checkpoints_steps=0),
+    )
+    t0 = time.perf_counter()
+    state = trainer.init_state(gen.batch(batch_size, 0))
+    trainer._compile()
+    batches = [trainer._put_batch(gen.batch(batch_size, i)) for i in range(3)]
+    rng = jax.random.key(0)
+    for i in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, loss = trainer._train_jit(state, batches[i % 3], sub)
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        state, loss = trainer._train_jit(state, batches[i % 3], sub)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return {
+        "model": name,
+        "examples_per_s": round(steps * batch_size / dt, 1),
+        "step_us": round(dt / steps * 1e6, 1),
+        "compile_s": round(compile_s, 1),
+        "loss_finite": bool(jax.numpy.isfinite(loss)),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--models", default=None, help="comma-separated subset")
+    args = p.parse_args()
+
+    import jax
+
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+
+    names = (
+        args.models.split(",") if args.models else sorted(MODEL_REGISTRY)
+    )
+    platform = jax.devices()[0].platform
+    rows = []
+    for name in names:
+        try:
+            r = bench_model(name, args.batch_size, args.steps, args.warmup)
+        except Exception as e:  # keep going; report the failure
+            traceback.print_exc()
+            r = {"model": name, "error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps(r))
+        rows.append(r)
+
+    out_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(out_dir, "RESULTS.json"), "w") as f:
+        json.dump({"platform": platform, "batch_size": args.batch_size,
+                   "results": rows}, f, indent=2)
+    with open(os.path.join(out_dir, "RESULTS.md"), "w") as f:
+        f.write(f"# Train-step throughput ({platform}, batch {args.batch_size})\n\n")
+        f.write("| model | examples/s | step (us) | compile (s) |\n|---|---|---|---|\n")
+        for r in rows:
+            if "error" in r:
+                f.write(f"| {r['model']} | ERROR: {r['error']} | | |\n")
+            else:
+                f.write(
+                    f"| {r['model']} | {r['examples_per_s']:,.0f} "
+                    f"| {r['step_us']:,.0f} | {r['compile_s']} |\n"
+                )
+    print(f"wrote {out_dir}/RESULTS.md")
+
+
+if __name__ == "__main__":
+    main()

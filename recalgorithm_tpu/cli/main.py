@@ -86,6 +86,8 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
                         help="single-device mode without a mesh")
     parser.add_argument("--predictions_csv", default="predictions.csv")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of training here")
     return parser
 
 
@@ -180,7 +182,10 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         ),
         mesh=mesh,
     )
-    state, final_eval = trainer.train_and_evaluate(train_iter, eval_fn)
+    from recalgorithm_tpu.utils.summary import profile
+
+    with profile(args.profile_dir or "", enabled=args.profile_dir is not None):
+        state, final_eval = trainer.train_and_evaluate(train_iter, eval_fn)
     for key in sorted(final_eval):
         print(f"{key}: {final_eval[key]}")
 
