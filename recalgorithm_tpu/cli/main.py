@@ -101,6 +101,10 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
     from recalgorithm_tpu.train import optimizers
     from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
 
+    from recalgorithm_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op single-process; TPU pods auto-discover
+
     argv = list(sys.argv[1:] if argv is None else argv)
     pre = build_parser(model_name)
     pre_args, _ = pre.parse_known_args(argv)
@@ -133,8 +137,10 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
 
         vocabs = VocabularyStore.from_dir(args.vocabulary_dir)
         schema = wechat_schema(vocabs.sizes())
-        train_arrays = pipeline.load_dataset(
-            args.train_data, schema, vocabs, limit=args.limit_examples
+        train_arrays = pipeline.shard_for_host(
+            pipeline.load_dataset(
+                args.train_data, schema, vocabs, limit=args.limit_examples
+            )
         )
         eval_arrays = pipeline.load_dataset(
             args.eval_data, schema, vocabs, limit=args.limit_examples

@@ -1,0 +1,34 @@
+"""StableHLO export round trip: serialized artifact reproduces live predictions."""
+
+import jax
+import numpy as np
+
+from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+from recalgorithm_tpu.features.schema import wechat_schema
+from recalgorithm_tpu.models.deepfm import DeepFM, DeepFMConfig
+from recalgorithm_tpu.serving.export import export_stablehlo, load_exported
+
+
+def test_export_roundtrip(tmp_path):
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=2, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepFMConfig(hidden_units=(16,), batch_size=32)
+    model = DeepFM(config=cfg, schema=schema)
+    batch = {k: jax.numpy.asarray(v) for k, v in gen.batch(32, 0).items()}
+    variables = model.init(jax.random.key(0), batch, train=False)
+
+    path = str(tmp_path / "deepfm.stablehlo")
+    export_stablehlo(model, variables, schema, batch_size=32, out_path=path)
+
+    serve = load_exported(path)
+    got = serve(gen.batch(32, 1))
+    live, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        {k: jax.numpy.asarray(v) for k, v in gen.batch(32, 1).items()},
+        train=False, mutable=["losses"],
+    )
+    want = jax.nn.sigmoid(live["read_comment"])
+    np.testing.assert_allclose(
+        np.asarray(got["read_comment"]), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
