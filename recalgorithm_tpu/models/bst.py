@@ -70,7 +70,7 @@ class BST(nn.Module):
 
         net = jnp.concatenate([batch["dense"], category, pooled], axis=-1)
         for i, unit in enumerate(cfg.hidden_units):
-            net = Dense(unit, name=f"dense_{i}")(net)
+            net = Dense(unit, dtype=cfg.compute_dtype, name=f"dense_{i}")(net)
             if cfg.mlp_activation == "relu":
                 net = nn.relu(net)
             if cfg.batch_norm:

@@ -72,6 +72,17 @@ class TrainFlags:
     num_epochs: int = 1
     shuffle_buffer_size: int = 10000
     save_checkpoints_steps: int = 1000
+    # 'f32' or 'bf16': compute dtype of the dense-tower/expert matmuls (MXU
+    # mixed precision; params, BN stats, interaction ops and losses stay f32).
+    precision: str = "f32"
+
+    @property
+    def compute_dtype(self):
+        if self.precision == "f32":
+            return None
+        if self.precision == "bf16":
+            return jnp.bfloat16
+        raise ValueError(f"unknown precision {self.precision!r}")
 
 
 def uniform_tables(

@@ -56,6 +56,7 @@ class DCN(nn.Module):
             hidden_units=cfg.hidden_units,
             dropout_rate=cfg.dropout_rate,
             batch_norm=cfg.batch_norm,
+            compute_dtype=cfg.compute_dtype,
             name="deep",
         )(x0, train)
         logit = Dense(1, name="logit")(

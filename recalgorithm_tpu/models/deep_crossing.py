@@ -49,7 +49,11 @@ class DeepCrossing(nn.Module):
         )
         x = jnp.concatenate([batch["dense"]] + embedder(batch), axis=-1)
         for i in range(self.config.residual_network_num):
-            x = ResidualUnit(self.config.residual_internal_dim, name=f"res_{i}")(x)
+            x = ResidualUnit(
+                self.config.residual_internal_dim,
+                compute_dtype=self.config.compute_dtype,
+                name=f"res_{i}",
+            )(x)
         logit = Dense(1, name="logit")(x)[:, 0]
         return {"read_comment": logit}
 

@@ -60,6 +60,7 @@ class DeepFM(nn.Module):
             dropout_rate=cfg.dropout_rate,
             batch_norm=cfg.batch_norm,
             logits_dim=1,
+            compute_dtype=cfg.compute_dtype,
             name="deep",
         )(deep_in, train)[:, 0]
 

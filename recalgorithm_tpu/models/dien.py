@@ -87,7 +87,7 @@ class DIEN(nn.Module):
         )
         logit = SequenceMLP(
             cfg.hidden_units, cfg.activation, cfg.batch_norm, cfg.dropout_rate,
-            name="fcn",
+            compute_dtype=cfg.compute_dtype, name="fcn",
         )(x, train)
 
         if cfg.use_auxiliary_loss and train:

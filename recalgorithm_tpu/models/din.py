@@ -54,11 +54,12 @@ class SequenceMLP(nn.Module):
     activation: str
     batch_norm: bool
     dropout_rate: float
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool) -> jax.Array:
         for i, unit in enumerate(self.hidden_units):
-            x = Dense(unit, name=f"dense_{i}")(x)
+            x = Dense(unit, dtype=self.compute_dtype, name=f"dense_{i}")(x)
             if self.activation == "dice":
                 x = Dice(name=f"dice_{i}")(x, train)
             else:
@@ -97,7 +98,7 @@ class DIN(nn.Module):
         x = jnp.concatenate([batch["dense"], category, target, attention], axis=-1)
         logit = SequenceMLP(
             cfg.hidden_units, cfg.activation, cfg.batch_norm, cfg.dropout_rate,
-            name="fcn",
+            compute_dtype=cfg.compute_dtype, name="fcn",
         )(x, train)
 
         if cfg.mini_batch_aware_regularization and cfg.l2_lambda > 0:

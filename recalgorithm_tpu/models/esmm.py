@@ -55,11 +55,13 @@ class ESMM(nn.Module):
         x = jnp.concatenate([batch["dense"]] + embedder(batch), axis=-1)
         ctr_logit = MLPTower(
             cfg.hidden_units, dropout_rate=cfg.dropout_rate,
-            batch_norm=cfg.batch_norm, logits_dim=1, name="ctr_tower",
+            batch_norm=cfg.batch_norm, logits_dim=1,
+            compute_dtype=cfg.compute_dtype, name="ctr_tower",
         )(x, train)[:, 0]
         cvr_logit = MLPTower(
             cfg.hidden_units, dropout_rate=cfg.dropout_rate,
-            batch_norm=cfg.batch_norm, logits_dim=1, name="cvr_tower",
+            batch_norm=cfg.batch_norm, logits_dim=1,
+            compute_dtype=cfg.compute_dtype, name="cvr_tower",
         )(x, train)[:, 0]
         # logit of the product probability, numerically stable:
         # log(p1*p2) - log(1 - p1*p2) via log-sigmoids.

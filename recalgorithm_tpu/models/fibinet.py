@@ -58,7 +58,7 @@ class FiBiNET(nn.Module):
         x = x.reshape(x.shape[0], -1)
         # reference MLP order here: dense-relu -> dropout -> BN (fibinet.py:190-195)
         for i, unit in enumerate(cfg.hidden_units):
-            x = nn.relu(Dense(unit, name=f"dense_{i}")(x))
+            x = nn.relu(Dense(unit, dtype=cfg.compute_dtype, name=f"dense_{i}")(x))
             if 0.0 < cfg.dropout_rate < 1.0:
                 x = nn.Dropout(cfg.dropout_rate, deterministic=not train)(x)
             if cfg.batch_norm:

@@ -45,7 +45,8 @@ class MMOE(nn.Module):
         )
         x = jnp.concatenate([batch["dense"]] + embedder(batch), axis=-1)
         experts = ExpertGroup(
-            cfg.num_experts, cfg.expert_hidden_units, name="experts"
+            cfg.num_experts, cfg.expert_hidden_units,
+            compute_dtype=cfg.compute_dtype, name="experts",
         )(x)  # (B, E, H)
         out = {}
         for task in cfg.task_names:
@@ -53,7 +54,7 @@ class MMOE(nn.Module):
             tower_in = mix_experts(experts, gate)
             out[task] = TaskTower(
                 cfg.hidden_units, cfg.dropout_rate, cfg.batch_norm,
-                name=f"tower_{task}",
+                compute_dtype=cfg.compute_dtype, name=f"tower_{task}",
             )(tower_in, train)[:, 0]
         return out
 

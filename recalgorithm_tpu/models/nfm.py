@@ -51,7 +51,7 @@ class NFM(nn.Module):
         x = nn.Dropout(0.1, deterministic=not train)(x)  # nfm.py:171 hard-codes 0.1
         # reference MLP order here is dense-relu -> BN -> dropout (nfm.py:175-179)
         for i, unit in enumerate(cfg.hidden_units):
-            x = nn.relu(Dense(unit, name=f"dense_{i}")(x))
+            x = nn.relu(Dense(unit, dtype=cfg.compute_dtype, name=f"dense_{i}")(x))
             if cfg.batch_norm:
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.99, epsilon=1e-3,

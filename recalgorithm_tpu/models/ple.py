@@ -59,24 +59,27 @@ class PLE(nn.Module):
                 num_experts_per_task=cfg.num_experts_per_task,
                 num_experts_in_shared=cfg.num_experts_in_shared,
                 expert_hidden_units=cfg.expert_hidden_units,
+                compute_dtype=cfg.compute_dtype,
                 name=f"extract_network_{i}",
             )(x)
 
         # final CGC: per-task gates over (task ∪ shared) experts (ple.py:183-228)
         shared = ExpertGroup(
-            cfg.num_experts_in_shared, cfg.expert_hidden_units, name="shared_final"
+            cfg.num_experts_in_shared, cfg.expert_hidden_units,
+            compute_dtype=cfg.compute_dtype, name="shared_final",
         )(x)
         out = {}
         for task, n_task in zip(cfg.task_names, cfg.num_experts_per_task):
             task_experts = ExpertGroup(
-                n_task, cfg.expert_hidden_units, name=f"experts_final_{task}"
+                n_task, cfg.expert_hidden_units,
+                compute_dtype=cfg.compute_dtype, name=f"experts_final_{task}",
             )(x)
             combined = jnp.concatenate([task_experts, shared], axis=1)
             gate = SoftmaxGate(combined.shape[1], name=f"gate_final_{task}")(x)
             tower_in = mix_experts(combined, gate)
             out[task] = TaskTower(
                 cfg.hidden_units, cfg.dropout_rate, cfg.batch_norm,
-                name=f"tower_{task}",
+                compute_dtype=cfg.compute_dtype, name=f"tower_{task}",
             )(tower_in, train)[:, 0]
         return out
 

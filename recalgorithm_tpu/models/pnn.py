@@ -82,6 +82,7 @@ class PNN(nn.Module):
             dropout_rate=cfg.dropout_rate,
             batch_norm=cfg.batch_norm,
             logits_dim=1,
+            compute_dtype=cfg.compute_dtype,
             name="fcn",
         )(x, train)[:, 0]
 

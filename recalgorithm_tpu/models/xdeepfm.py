@@ -58,7 +58,7 @@ class XDeepFM(nn.Module):
 
         net = linear_vec
         for i, unit in enumerate(cfg.hidden_units):
-            net = nn.relu(Dense(unit, name=f"dnn_{i}")(net))
+            net = nn.relu(Dense(unit, dtype=cfg.compute_dtype, name=f"dnn_{i}")(net))
         dnn_logit = Dense(1, use_bias=False, name="dnn_logit")(net)[:, 0]
 
         return {"read_comment": linear_logit + cin_logit + dnn_logit}

@@ -28,6 +28,7 @@ class ExpertGroup(nn.Module):
 
     num_experts: int
     hidden_units: int
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -38,7 +39,11 @@ class ExpertGroup(nn.Module):
         b = self.param(
             "bias", nn.initializers.zeros, (self.num_experts, self.hidden_units)
         )
-        return nn.relu(jnp.einsum("bi,eih->beh", x, w) + b)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            w = w.astype(self.compute_dtype)
+        h = jnp.einsum("bi,eih->beh", x, w, preferred_element_type=jnp.float32)
+        return nn.relu(h + b)
 
 
 class SoftmaxGate(nn.Module):
@@ -63,6 +68,7 @@ class TaskTower(nn.Module):
     hidden_units: Sequence[int]
     dropout_rate: float = 0.1
     batch_norm: bool = True
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -71,6 +77,7 @@ class TaskTower(nn.Module):
             dropout_rate=self.dropout_rate,
             batch_norm=self.batch_norm,
             logits_dim=1,
+            compute_dtype=self.compute_dtype,
         )(x, train)
 
 
@@ -88,17 +95,20 @@ class ExtractionNetwork(nn.Module):
     num_experts_per_task: Sequence[int]
     num_experts_in_shared: int
     expert_hidden_units: int
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, in) -> (B, H)
         shared = ExpertGroup(
-            self.num_experts_in_shared, self.expert_hidden_units, name="shared"
+            self.num_experts_in_shared, self.expert_hidden_units,
+            compute_dtype=self.compute_dtype, name="shared",
         )(x)  # (B, Es, H)
         outputs = []
         all_experts = []
         for task, n_task in zip(self.task_names, self.num_experts_per_task):
             task_experts = ExpertGroup(
-                n_task, self.expert_hidden_units, name=f"experts_{task}"
+                n_task, self.expert_hidden_units,
+                compute_dtype=self.compute_dtype, name=f"experts_{task}",
             )(x)  # (B, Et, H)
             all_experts.append(task_experts)
             combined = jnp.concatenate([task_experts, shared], axis=1)

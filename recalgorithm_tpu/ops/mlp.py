@@ -9,9 +9,10 @@ i.e. *post-activation* BN applied after dropout.  ``MLPTower`` reproduces
 exactly that, with TF-default initialisers (glorot_uniform kernels, zero
 biases) so learning dynamics match the reference.
 
-All matmuls run in the param dtype by default; pass ``compute_dtype=bf16`` to
-run the tower on the MXU in bfloat16 with float32 params (recommended on TPU;
-the final logit layer always accumulates in float32).
+Mixed precision: pass ``compute_dtype=jnp.bfloat16`` to run each matmul on
+the MXU in bfloat16 (params stay float32, every matmul output is promoted
+straight back to float32, so BN statistics / activations / the logit head all
+keep full precision).  Selected per model via the ``precision`` train flag.
 """
 
 from __future__ import annotations
@@ -28,9 +29,22 @@ glorot_uniform = nn.initializers.glorot_uniform()
 
 
 class Dense(nn.Dense):
-    """nn.Dense with TF-default glorot_uniform kernel init."""
+    """nn.Dense with TF-default glorot_uniform kernel init.
+
+    When ``dtype`` is set (e.g. bf16 for the MXU), params stay float32, the
+    matmul runs in ``dtype``, and the output is promoted straight back to
+    float32 — so everything around the matmul (BN statistics, activations,
+    losses) keeps full precision and only the MXU-bound contraction is mixed.
+    """
 
     kernel_init: nn.initializers.Initializer = glorot_uniform
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array) -> jax.Array:
+        out = super().__call__(inputs)
+        if self.dtype is not None and out.dtype != jnp.float32:
+            out = out.astype(jnp.float32)
+        return out
 
 
 class MLPTower(nn.Module):
@@ -56,8 +70,6 @@ class MLPTower(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        if self.compute_dtype is not None:
-            x = x.astype(self.compute_dtype)
         for i, units in enumerate(self.hidden_units):
             x = Dense(units, dtype=self.compute_dtype, name=f"dense_{i}")(x)
             if self.activation == "relu":
@@ -77,13 +89,10 @@ class MLPTower(nn.Module):
                     use_running_average=not train,
                     momentum=0.99,
                     epsilon=1e-3,
-                    dtype=self.compute_dtype,
                     name=f"bn_{i}",
                 )(x)
         if self.logits_dim is not None:
-            x = Dense(self.logits_dim, dtype=jnp.float32, name="logits")(
-                x.astype(jnp.float32)
-            )
+            x = Dense(self.logits_dim, name="logits")(x)
         return x
 
 

@@ -72,6 +72,11 @@ class TrainerConfig:
     save_checkpoints_steps: int = 1000
     keep_best: int = 5  # BestExporter(exports_to_keep=5)
     seed: int = 42
+    # fuse coordinate-wise optimizers into one flat-buffer update (3.5x full
+    # DIN step on v5e; see optimizers.maybe_fuse). Per-coordinate math is
+    # unchanged, but the opt_state checkpoint layout differs, so keep it
+    # constant across resumes of one model_dir.
+    fuse_optimizer: bool = True
 
 
 class Trainer:
@@ -83,9 +88,13 @@ class Trainer:
         config: TrainerConfig,
         mesh=None,
     ):
+        from recalgorithm_tpu.train import optimizers as _opt
+
         self.model = model
         self.task_names = tuple(task_names)
-        self.tx = optimizer
+        self.tx = (
+            _opt.maybe_fuse(optimizer, mesh) if config.fuse_optimizer else optimizer
+        )
         self.config = config
         self.mesh = mesh
         self._compiled = None

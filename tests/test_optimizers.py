@@ -58,6 +58,41 @@ def test_lazy_adam_skips_untouched_rows():
     assert np.all(u2[1] == 0) and np.all(u2[3] != 0)
 
 
+def test_maybe_fuse_matches_unfused():
+    """optax.flatten is a pure perf transform for coordinate-wise optimizers:
+    fused and per-leaf updates must agree bitwise per coordinate."""
+    rng = np.random.default_rng(0)
+    params = {
+        "a": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+        "b": {"c": jnp.asarray(rng.normal(size=(7,)), jnp.float32)},
+    }
+    for name in ("adam", "ftrl", "lazyadam", "adagrad", "rmsprop", "sgd"):
+        tx = optimizers.build(name, 0.05)
+        fx = optimizers.maybe_fuse(tx)
+        s, fs = tx.init(params), fx.init(params)
+        p, fp = params, params
+        for step in range(3):
+            g = jax.tree.map(
+                lambda t: jnp.asarray(
+                    rng.normal(size=t.shape), jnp.float32
+                ) * (rng.random(t.shape) > 0.3),
+                params,
+            )
+            u, s = tx.update(g, s, p)
+            fu, fs = fx.update(g, fs, fp)
+            p = jax.tree.map(lambda a, b: a + b, p, u)
+            fp = jax.tree.map(lambda a, b: a + b, fp, fu)
+        for l1, l2 in zip(jax.tree.leaves(p), jax.tree.leaves(fp)):
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2), err_msg=name)
+
+
+def test_maybe_fuse_skips_sharded_and_multi_transform():
+    tx = optimizers.build("adam", 0.1)
+    assert optimizers.maybe_fuse(tx, mesh=object()) is tx
+    dual = optimizers.dual_wide_deep(0.5, "sgd", 0.1, lambda path: False)
+    assert optimizers.maybe_fuse(dual) is dual
+
+
 def test_dual_wide_deep_routes_by_path():
     tx = optimizers.dual_wide_deep(
         wide_lr=0.5, deep_optimizer="sgd", deep_lr=0.1,

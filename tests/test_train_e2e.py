@@ -97,3 +97,24 @@ def test_streaming_auc_matches_exact():
     binned = float(M.auc_compute(st))
     exact = M.exact_auc(labels, scores)
     assert abs(binned - exact) < 0.005, (binned, exact)
+
+
+def test_bf16_model_learns(tmp_path):
+    """Mixed-precision training (bf16 tower matmuls, f32 params/optimizer)
+    learns just like f32 — the gradient path through the downcast matmuls is
+    well-conditioned."""
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=3, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepCrossingConfig(batch_size=128, train_steps=60, precision="bf16")
+    model = DeepCrossing(config=cfg, schema=schema)
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("adam", 0.005),
+        TrainerConfig(model_dir=str(tmp_path), train_steps=60, log_every=50,
+                      save_checkpoints_steps=0),
+    )
+    _, ev = trainer.train_and_evaluate(
+        gen.batches(128, 60),
+        lambda: gen.batches(128, 8, start_seed=5000),
+    )
+    assert ev["read_comment_auc"] > 0.6
+    assert ev["loss"] < 0.6
