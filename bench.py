@@ -3,9 +3,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}
 
-Measures steady-state train-step throughput (forward + backward + optimizer +
-metric update, donated state, device-resident batches) of DIN on WeChat-shaped
-synthetic data with real-dataset vocabulary sizes at batch 4096.
+Measures steady-state train-step time (forward + backward + optimizer +
+metric update, device-resident batch) of DIN on WeChat-shaped synthetic data
+with real-dataset vocabulary sizes at batch 4096, using the K-step-loop slope
+method (utils/benchmarking.py) — per-call wall timing is unreliable on
+tunneled TPU backends (block_until_ready can return before device work
+finishes), so the step runs inside jit(fori_loop) for two loop lengths and
+the slope is the honest per-step time.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6,
 TF 1.14 single-process CPU).  BASELINE.json's target is >=10x the TF1 CPU
@@ -18,12 +22,11 @@ vs_baseline >= 10.
 from __future__ import annotations
 
 import json
-import time
 
 TF1_CPU_BASELINE_EXAMPLES_PER_S = 2_000.0
 
 
-def run_bench(batch_size: int = 4096, steps: int = 30, warmup: int = 5) -> dict:
+def run_bench(batch_size: int = 4096) -> dict:
     import jax
 
     from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
@@ -31,6 +34,7 @@ def run_bench(batch_size: int = 4096, steps: int = 30, warmup: int = 5) -> dict:
     from recalgorithm_tpu.models.din import DIN, DINConfig
     from recalgorithm_tpu.train import optimizers
     from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
+    from recalgorithm_tpu.utils.benchmarking import loop_step_time_us
 
     n_chips = len(jax.devices())
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -42,32 +46,18 @@ def run_bench(batch_size: int = 4096, steps: int = 30, warmup: int = 5) -> dict:
         model,
         cfg.task_names,
         optimizers.build("adam", 1e-3),
-        TrainerConfig(model_dir="/tmp/recalgorithm_bench", train_steps=steps,
+        TrainerConfig(model_dir="/tmp/recalgorithm_bench", train_steps=30,
                       save_checkpoints_steps=0),
         mesh=None,
     )
-    state = trainer.init_state(gen.batch(batch_size, 0))
-    trainer._compile()
-
-    # a few device-resident batches, cycled (isolates device step time; the
-    # host pipeline is benchmarked separately in the data layer)
-    device_batches = [trainer._put_batch(gen.batch(batch_size, i)) for i in range(4)]
-    rng = jax.random.key(0)
-
-    for i in range(warmup):
-        rng, sub = jax.random.split(rng)
-        state, loss = trainer._train_jit(state, device_batches[i % 4], sub)
-    jax.block_until_ready(loss)
-
-    t0 = time.perf_counter()
-    for i in range(steps):
-        rng, sub = jax.random.split(rng)
-        state, loss = trainer._train_jit(state, device_batches[i % 4], sub)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-
-    examples_per_s = steps * batch_size / dt
-    per_chip = examples_per_s / n_chips
+    batch = gen.batch(batch_size, 0)
+    state = trainer.init_state(batch)
+    device_batch = trainer._put_batch(batch)
+    k_big = 72 if on_tpu else 24  # CPU fallback keeps the bench under a minute
+    step_us = loop_step_time_us(
+        trainer._train_step, state, device_batch, k_small=8, k_big=k_big
+    )
+    per_chip = batch_size / step_us * 1e6 / n_chips
     return {
         "metric": "DIN_train_examples_per_s_per_chip_b4096",
         "value": round(per_chip, 1),

@@ -3,9 +3,10 @@
 Writes benchmarks/RESULTS.md (markdown table) and RESULTS.json.  Run on the
 real chip: `python benchmarks/run_all.py [--batch_size 4096] [--steps 20]`.
 
-Measures steady-state jitted train-step throughput (fwd+bwd+optimizer+metric
-update, donated state, device-resident batches) at reference-default
-hyperparameters and real-dataset vocabulary sizes.
+Measures steady-state train-step time (fwd+bwd+optimizer+metric update,
+device-resident batch) at reference-default hyperparameters and real-dataset
+vocabulary sizes, via the K-step-loop slope method (utils/benchmarking.py) —
+honest on tunneled TPU backends where per-call wall timing under-reports.
 """
 
 from __future__ import annotations
@@ -43,29 +44,24 @@ def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
         TrainerConfig(model_dir=f"/tmp/bench_{name}", train_steps=steps,
                       save_checkpoints_steps=0),
     )
-    t0 = time.perf_counter()
-    state = trainer.init_state(gen.batch(batch_size, 0))
-    trainer._compile()
-    batches = [trainer._put_batch(gen.batch(batch_size, i)) for i in range(3)]
-    rng = jax.random.key(0)
-    for i in range(warmup):
-        rng, sub = jax.random.split(rng)
-        state, loss = trainer._train_jit(state, batches[i % 3], sub)
-    jax.block_until_ready(loss)
-    compile_s = time.perf_counter() - t0
+    from recalgorithm_tpu.utils.benchmarking import loop_step_time_us
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        rng, sub = jax.random.split(rng)
-        state, loss = trainer._train_jit(state, batches[i % 3], sub)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    state = trainer.init_state(gen.batch(batch_size, 0))
+    batch = trainer._put_batch(gen.batch(batch_size, 0))
+    # one real step to confirm the graph runs and the loss is finite
+    trainer._compile()
+    state, loss = trainer._train_jit(state, batch, jax.random.key(0))
+    loss_finite = bool(jax.numpy.isfinite(float(loss)))
+    compile_s = time.perf_counter() - t0
+
+    step_us = loop_step_time_us(trainer._train_step, state, batch)
     return {
         "model": name,
-        "examples_per_s": round(steps * batch_size / dt, 1),
-        "step_us": round(dt / steps * 1e6, 1),
+        "examples_per_s": round(batch_size / step_us * 1e6, 1),
+        "step_us": round(step_us, 1),
         "compile_s": round(compile_s, 1),
-        "loss_finite": bool(jax.numpy.isfinite(loss)),
+        "loss_finite": loss_finite,
     }
 
 

@@ -43,7 +43,7 @@ class DINConfig(common.TrainFlags):
     mini_batch_aware_regularization: bool = True
     l2_lambda: float = 0.2
     use_softmax: bool = False
-    use_fused_attention: bool = False  # Pallas kernel (TPU; ~1.6-2x the XLA op)
+    use_fused_attention: bool = False  # Pallas kernel (TPU; small full-step win)
     task_names: tuple[str, ...] = ("read_comment",)
 
 

@@ -72,11 +72,12 @@ class TrainerConfig:
     save_checkpoints_steps: int = 1000
     keep_best: int = 5  # BestExporter(exports_to_keep=5)
     seed: int = 42
-    # fuse coordinate-wise optimizers into one flat-buffer update (3.5x full
-    # DIN step on v5e; see optimizers.maybe_fuse). Per-coordinate math is
-    # unchanged, but the opt_state checkpoint layout differs, so keep it
-    # constant across resumes of one model_dir.
-    fuse_optimizer: bool = True
+    # fuse coordinate-wise optimizers into one flat-buffer update via
+    # optax.flatten. Honest on-device timing (utils/benchmarking.py) shows
+    # per-leaf updates are already fast on TPU (~20us for 2.5M params) while
+    # the ravel/unravel relayout costs ~1.5ms, so fusion stays OFF; the knob
+    # exists for leaf-heavy models on dispatch-bound backends.
+    fuse_optimizer: bool = False
 
 
 class Trainer:

@@ -148,13 +148,15 @@ def maybe_fuse(tx: optax.GradientTransformation, mesh=None) -> optax.GradientTra
     """Fuse a coordinate-wise optimizer into one flat-buffer update.
 
     Every optimizer in this module is coordinate-wise, so ``optax.flatten``
-    is a pure performance transform: instead of one tiny XLA kernel per
-    parameter leaf (30+ launches/step for an embedding-heavy model, which
-    dominates step time on TPU), the moment/param updates run as a handful
-    of kernels over a single ravelled vector — measured 3.5x on the full DIN
-    train step on v5e.  Skipped when the params are mesh-sharded (ravelling
-    would gather the row-sharded embedding tables onto every device) and for
-    ``UnfuseableTransform``s (label-routed multi_transform).
+    is semantics-preserving (bitwise per coordinate; covered by
+    tests/test_optimizers.py).  Honest K-step-loop timing on v5e shows it is
+    NOT a win there: per-leaf updates cost ~20us for 2.5M params while the
+    flat vector's ravel/unravel relayout costs ~1.5ms/step, so the Trainer
+    default leaves it off.  It remains useful on dispatch-latency-bound
+    backends with very leaf-heavy trees.  Skipped when the params are
+    mesh-sharded (ravelling would gather the row-sharded embedding tables
+    onto every device) and for ``UnfuseableTransform``s (label-routed
+    multi_transform).
     """
     if mesh is not None or isinstance(tx, UnfuseableTransform):
         return tx

@@ -87,3 +87,56 @@ def test_hashed_cross_properties():
     np.testing.assert_array_equal(out, out2)
     # different pairs hash differently (w.h.p.)
     assert out[0, 0] != out[0, 1]
+
+
+def test_dense_lookup_matches_gather():
+    """Small-vocab tables use the one-hot-matmul path; it must agree with the
+    gather path (values AND table gradients) for scalar and pooled lookups."""
+    import recalgorithm_tpu.embed.tables as T
+
+    tables = {"t": TableSpec("t", vocab_size=300, dim=8)}  # 512 rows -> dense
+    coll = EmbeddingCollection(tables=tables)
+    rng = np.random.default_rng(0)
+    ids_s = jnp.asarray(rng.integers(0, 301, 64, dtype=np.int32))
+    ids_p = jnp.asarray(rng.integers(0, 301, (64, 7), dtype=np.int32))
+    ids_p = ids_p * (jnp.arange(7)[None, :] < 4)  # padded tail
+    params = coll.init(
+        jax.random.key(1), method=lambda m: m.embed_scalar("t", ids_s)
+    )
+    assert coll.apply(params, method=lambda m: m._is_dense("t"))
+
+    def run(p):
+        s = coll.apply(p, method=lambda m: m.embed_scalar("t", ids_s))
+        pooled = {
+            c: coll.apply(p, method=lambda m: m.embed_pooled("t", ids_p, c))
+            for c in ("mean", "sum", "sqrtn")
+        }
+        return s, pooled
+
+    def run_gather(p):
+        tab = p["params"]["t"]
+        s = jnp.take(tab, ids_s, axis=0) * (ids_s > 0)[:, None]
+        emb = jnp.take(tab, ids_p, axis=0) * (ids_p > 0)[..., None]
+        total = emb.sum(1)
+        cnt = jnp.maximum((ids_p > 0).sum(1, keepdims=True).astype(total.dtype), 1.0)
+        pooled = {"mean": total / cnt, "sum": total, "sqrtn": total / jnp.sqrt(cnt)}
+        return s, pooled
+
+    (s_d, p_d), (s_g, p_g) = run(params), run_gather(params)
+    np.testing.assert_allclose(np.asarray(s_d), np.asarray(s_g), rtol=1e-5, atol=1e-6)
+    for c in p_d:
+        np.testing.assert_allclose(
+            np.asarray(p_d[c]), np.asarray(p_g[c]), rtol=1e-5, atol=1e-6, err_msg=c
+        )
+
+    def loss_d(p):
+        s, pooled = run(p)
+        return jnp.sum(s**2) + sum(jnp.sum(v**2) for v in pooled.values())
+
+    def loss_g(p):
+        s, pooled = run_gather(p)
+        return jnp.sum(s**2) + sum(jnp.sum(v**2) for v in pooled.values())
+
+    g_d = jax.grad(loss_d)(params)["params"]["t"]
+    g_g = jax.grad(loss_g)(params)["params"]["t"]
+    np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_g), rtol=1e-4, atol=1e-5)
