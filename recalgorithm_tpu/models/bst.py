@@ -35,6 +35,7 @@ class BSTConfig(common.TrainFlags):
     num_transformer_block: int = 1
     num_transformer_heads: int = 3
     pooling_method: str = "sum"  # {'sum', 'mean'}
+    use_fused_attention: bool = False  # Pallas MHA core (TPU)
     mlp_activation: str = "none"  # reference parity; "relu" for standard MLP
     task_names: tuple[str, ...] = ("read_comment",)
 
@@ -61,6 +62,7 @@ class BST(nn.Module):
             x = BSTTransformerBlock(
                 num_heads=cfg.num_transformer_heads,
                 max_length=cfg.sequence_max_length + 1,
+                fused=cfg.use_fused_attention,
                 name=f"transformer_{i}",
             )(x, lengths + 1)
         if cfg.pooling_method == "sum":

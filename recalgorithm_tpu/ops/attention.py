@@ -102,6 +102,8 @@ class BSTTransformerBlock(nn.Module):
     num_heads: int
     max_length: int
     use_position_embedding: bool = True
+    fused: bool = False  # route the attention core through the Pallas kernel
+    interpret: bool = False  # run the kernel interpreted (CPU tests)
 
     @nn.compact
     def __call__(
@@ -128,11 +130,19 @@ class BSTTransformerBlock(nn.Module):
         k = jnp.einsum("btk,hkj->bhtj", k_in, w_k)
         v = jnp.einsum("btk,hkj->bhtj", x, w_v)
 
-        logits = jnp.einsum("bhik,bhjk->bhij", q, k) / (d**0.5)  # (B, H, T, T)
-        key_mask = sequence_mask(lengths, t)[:, None, None, :]  # (B, 1, 1, T)
-        logits = jnp.where(key_mask, logits, NEG_INF)
-        attn = jax.nn.softmax(logits, axis=-1)
-        score = jnp.einsum("bhij,bhjk->bhik", attn, v)  # (B, H, T, d)
+        if self.fused:
+            from recalgorithm_tpu.ops.pallas.bst_attention import bst_mha_fused
+
+            # XLA lowers the (B*H, T, T) batched tiny matmuls + softmax to
+            # thousands of under-filled MXU dispatches (~7ms of BST's step at
+            # batch 4096); the kernel keeps the whole core in VMEM.
+            score = bst_mha_fused(q, k, v, lengths, self.interpret)
+        else:
+            logits = jnp.einsum("bhik,bhjk->bhij", q, k) / (d**0.5)
+            key_mask = sequence_mask(lengths, t)[:, None, None, :]  # (B,1,1,T)
+            logits = jnp.where(key_mask, logits, NEG_INF)
+            attn = jax.nn.softmax(logits, axis=-1)
+            score = jnp.einsum("bhij,bhjk->bhik", attn, v)  # (B, H, T, d)
 
         heads = jnp.transpose(score, (0, 2, 1, 3)).reshape(b, t, self.num_heads * d)
         out = heads @ w_o  # (B, T, d)

@@ -1,0 +1,206 @@
+"""Fused BST multi-head attention Pallas kernel (tiny head_dim, B on lanes).
+
+The XLA lowering of BST's attention core (reference transformer_layer.py's
+scaled dot-product, our ops.attention.BSTTransformerBlock) is B*H independent
+(T, d) x (d, T) matmuls with T=51, d<=16 — thousands of tiny MXU dispatches
+plus (B, H, T, T) HBM tensors whose minor dim pads 51->128.  Honest
+loop-slope timing puts that core at ~7 ms of BST's 13 ms step at batch 4096,
+insensitive to dtype (op-count-bound, not bandwidth-bound).
+
+This kernel computes softmax(mask(q kᵀ / sqrt(d))) v for all heads entirely
+in VMEM, in *transposed* layout — batch on the lane axis, (time, feature) on
+sublanes — so each (i, j) score is a VPU reduction vectorised over 100s of
+examples, and the (T, T) attention matrix never touches HBM.  The backward
+pass is the standard flash-attention derivation, also a Pallas kernel (the
+forward is recomputed per row; nothing but q/k/v/lengths is saved).
+
+Layout contract (wrappers handle it): q, k, v are (B, H, T, d) in the model;
+internally (H, T*d, B).  d and T are small and static; B tiles over lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -(2.0**32) + 1
+
+
+def _attn_rows(q_ref, k3, len_col, t, d, scale):
+    """Yield-style helper is not jit-friendly; returns a function computing
+    the masked softmax row attn_i (T, TB) for query position i."""
+
+    def row(i):
+        qi = q_ref[pl.ds(i * d, d), :]  # (d, TB)
+        lij = jnp.sum(k3 * qi[None, :, :], axis=1) * scale  # (T, TB)
+        jidx = jax.lax.broadcasted_iota(jnp.int32, lij.shape, 0)
+        lij = jnp.where(jidx < len_col, lij, NEG_INF)
+        m = jnp.max(lij, axis=0, keepdims=True)
+        p = jnp.exp(lij - m)
+        s = jnp.sum(p, axis=0, keepdims=True)
+        return p / jnp.maximum(s, 1e-30)  # (T, TB)
+
+    return row
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *, t: int, d: int):
+    tb = q_ref.shape[1]
+    scale = 1.0 / (d**0.5)
+    k3 = k_ref[:].reshape(t, d, tb)
+    v3 = v_ref[:].reshape(t, d, tb)
+    len_col = len_ref[:]  # (1, TB) int32
+    row = _attn_rows(q_ref, k3, len_col, t, d, scale)
+
+    def body(i, _):
+        attn = row(i)  # (T, TB)
+        o_ref[pl.ds(i * d, d), :] = jnp.sum(attn[:, None, :] * v3, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, t, body, 0)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, len_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, t: int, d: int,
+):
+    tb = q_ref.shape[1]
+    scale = 1.0 / (d**0.5)
+    k3 = k_ref[:].reshape(t, d, tb)
+    v3 = v_ref[:].reshape(t, d, tb)
+    len_col = len_ref[:]
+    row = _attn_rows(q_ref, k3, len_col, t, d, scale)
+
+    def body(i, carry):
+        dk3, dv3 = carry
+        attn = row(i)  # (T, TB)
+        qi = q_ref[pl.ds(i * d, d), :]
+        doi = do_ref[pl.ds(i * d, d), :]  # (d, TB)
+        dv3 = dv3 + attn[:, None, :] * doi[None, :, :]
+        dp = jnp.sum(v3 * doi[None, :, :], axis=1)  # (T, TB)
+        dsum = jnp.sum(dp * attn, axis=0, keepdims=True)  # (1, TB)
+        dl = attn * (dp - dsum) * scale  # (T, TB); zero at masked j
+        dq_ref[pl.ds(i * d, d), :] = jnp.sum(k3 * dl[:, None, :], axis=0)
+        dk3 = dk3 + dl[:, None, :] * qi[None, :, :]
+        return dk3, dv3
+
+    zero = jnp.zeros((t, d, tb), jnp.float32)
+    dk3, dv3 = jax.lax.fori_loop(0, t, body, (zero, zero))
+    dk_ref[:] = dk3.reshape(t * d, tb)
+    dv_ref[:] = dv3.reshape(t * d, tb)
+
+
+def _to_kernel_layout(x: jax.Array) -> jax.Array:
+    """(B, H, T, d) -> (H, T*d, B)."""
+    b, h, t, d = x.shape
+    return x.transpose(1, 2, 3, 0).reshape(h, t * d, b)
+
+
+def _from_kernel_layout(x: jax.Array, b: int, h: int, t: int, d: int) -> jax.Array:
+    return x.reshape(h, t, d, b).transpose(3, 0, 1, 2)
+
+
+def _pick_tile(b: int, max_tile: int = 256) -> int:
+    # the backward holds 8 (T*d, tile) blocks (double-buffered) plus two
+    # (T, d, tile) accumulators in VMEM; tile=128 keeps it under the 16MB
+    # scoped limit, the forward fits at 256.
+    for tile in (max_tile, 128):
+        if b % tile == 0:
+            return tile
+    raise ValueError(f"batch {b} must be a multiple of 128")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bst_mha_fused(
+    q: jax.Array,        # (B, H, T, d) f32
+    k: jax.Array,        # (B, H, T, d) f32
+    v: jax.Array,        # (B, H, T, d) f32
+    lengths: jax.Array,  # (B,) int32 — valid KEY positions (incl. target slot)
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, t, d = q.shape
+    tile = _pick_tile(b)
+    qT, kT, vT = (_to_kernel_layout(x) for x in (q, k, v))
+    lenT = lengths[None, :].astype(jnp.int32)  # (1, B)
+
+    specs = [
+        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+        pl.BlockSpec((1, tile), lambda hh, i: (0, i)),
+    ]
+
+    def kernel(q_ref, k_ref, v_ref, len_ref, o_ref):
+        _fwd_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], len_ref, o_ref.at[0],
+            t=t, d=d,
+        )
+
+    outT = pl.pallas_call(
+        kernel,
+        grid=(h, b // tile),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((h, t * d, b), jnp.float32),
+        interpret=interpret,
+    )(qT, kT, vT, lenT)
+    return _from_kernel_layout(outT, b, h, t, d)
+
+
+def _mha_fwd(q, k, v, lengths, interpret):
+    return bst_mha_fused(q, k, v, lengths, interpret), (q, k, v, lengths)
+
+
+def _mha_bwd(interpret, res, g):
+    q, k, v, lengths = res
+    b, h, t, d = q.shape
+    tile = _pick_tile(b, max_tile=128)
+    qT, kT, vT = (_to_kernel_layout(x) for x in (q, k, v))
+    gT = _to_kernel_layout(g)
+    lenT = lengths[None, :].astype(jnp.int32)
+
+    specs = [
+        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+        pl.BlockSpec((1, tile), lambda hh, i: (0, i)),
+        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+    ]
+    out_spec = pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i))
+
+    def kernel(q_ref, k_ref, v_ref, len_ref, do_ref, dq_ref, dk_ref, dv_ref):
+        _bwd_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], len_ref, do_ref.at[0],
+            dq_ref.at[0], dk_ref.at[0], dv_ref.at[0],
+            t=t, d=d,
+        )
+
+    shp = jax.ShapeDtypeStruct((h, t * d, b), jnp.float32)
+    dqT, dkT, dvT = pl.pallas_call(
+        kernel,
+        grid=(h, b // tile),
+        in_specs=specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shp, shp, shp),
+        interpret=interpret,
+    )(qT, kT, vT, lenT, gT)
+    dq = _from_kernel_layout(dqT, b, h, t, d)
+    dk = _from_kernel_layout(dkT, b, h, t, d)
+    dv = _from_kernel_layout(dvT, b, h, t, d)
+    return dq, dk, dv, None
+
+
+bst_mha_fused.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mha_reference(q, k, v, lengths):
+    """Pure-jnp reference: softmax(mask(q k^T / sqrt(d))) v, key-side mask."""
+    b, h, t, d = q.shape
+    logits = jnp.einsum("bhik,bhjk->bhij", q, k) / (d**0.5)
+    mask = (jnp.arange(t)[None, :] < lengths[:, None])[:, None, None, :]
+    logits = jnp.where(mask, logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhij,bhjk->bhik", attn, v)

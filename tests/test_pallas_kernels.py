@@ -77,3 +77,57 @@ def test_fused_module_path(data):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# BST fused multi-head attention core
+# ---------------------------------------------------------------------------
+
+
+def test_bst_mha_fused_matches_reference():
+    from recalgorithm_tpu.ops.pallas.bst_attention import (
+        bst_mha_fused, mha_reference,
+    )
+
+    B, H, T, d = 128, 3, 51, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
+
+    out = bst_mha_fused(q, k, v, lengths, True)
+    want = mha_reference(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(bst_mha_fused(q, k, v, lengths, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(mha_reference(q, k, v, lengths) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(gf, gr):
+        scale = float(np.abs(np.asarray(b)).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5 * max(scale, 1.0))
+
+
+def test_bst_block_fused_matches_plain():
+    from recalgorithm_tpu.ops.attention import BSTTransformerBlock
+
+    B, T, d = 128, 51, 16
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
+    plain = BSTTransformerBlock(3, T)
+    params = plain.init(jax.random.key(0), x, lengths)
+    fused = BSTTransformerBlock(3, T, fused=True, interpret=True)
+    assert (jax.tree.structure(fused.init(jax.random.key(0), x, lengths))
+            == jax.tree.structure(params))
+    out_p = plain.apply(params, x, lengths)
+    out_f = fused.apply(params, x, lengths)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=1e-4, atol=1e-4)
