@@ -34,7 +34,7 @@ def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
     gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=7))
     schema = wechat_schema(gen.vocab_sizes())
     kwargs = {"batch_size": batch_size}
-    if name == "DIN" and jax.devices()[0].platform != "cpu":
+    if name in ("DIN", "BST") and jax.devices()[0].platform != "cpu":
         kwargs["use_fused_attention"] = True
     cfg = cfg_cls(**kwargs)
     model = model_cls(config=cfg, schema=schema)

@@ -78,6 +78,12 @@ class TrainerConfig:
     # the ravel/unravel relayout costs ~1.5ms, so fusion stays OFF; the knob
     # exists for leaf-heavy models on dispatch-bound backends.
     fuse_optimizer: bool = False
+    # PRNG implementation for dropout keys. 'rbg' uses the TPU's hardware RNG
+    # instructions — threefry mask generation costs ~1.3ms/step on a
+    # 3-tower PLE at batch 4096, rbg makes it free. Both are deterministic
+    # for a fixed seed on a fixed backend; threefry additionally guarantees
+    # identical draws across backends (set rng_impl='threefry2x32' for that).
+    rng_impl: str = "rbg"
 
 
 class Trainer:
@@ -103,7 +109,7 @@ class Trainer:
     # -- initialisation ------------------------------------------------------
 
     def init_state(self, sample_batch: Mapping[str, np.ndarray]) -> TrainState:
-        rng = jax.random.key(self.config.seed)
+        rng = jax.random.key(self.config.seed, impl=self.config.rng_impl)
         batch = jax.tree.map(jnp.asarray, dict(sample_batch))
         variables = self.model.init(rng, batch, train=False)
         params = variables["params"]
@@ -295,7 +301,7 @@ class Trainer:
 
         cfg = self.config
         self._compile()
-        rng = jax.random.key(cfg.seed + 1)
+        rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
         checkpointer = _Checkpointer(cfg.model_dir, cfg.keep_best)
         summary = SummaryWriter(os.path.join(cfg.model_dir, "summaries"))
 

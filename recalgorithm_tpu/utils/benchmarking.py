@@ -27,6 +27,7 @@ def loop_step_time_us(
     k_big: int = 72,
     repeats: int = 3,
     seed: int = 0,
+    rng_impl: str = "rbg",  # match Trainer's default dropout PRNG
 ) -> float:
     """Median per-step time (us) of `step_fn`, measured as a K-step slope.
 
@@ -60,11 +61,11 @@ def loop_step_time_us(
         # call, keep the full output alive until after a scalar fetch of the
         # loss, throw the first timed call away, and take the median — never
         # the min.
-        st, loss = fn(state, batch, jax.random.key(seed))  # compile + warm
+        st, loss = fn(state, batch, jax.random.key(seed, impl=rng_impl))  # compile + warm
         float(loss)
         times = []
         for r in range(repeats + 1):
-            key = jax.random.key(seed + 1 + r)
+            key = jax.random.key(seed + 1 + r, impl=rng_impl)
             t0 = time.perf_counter()
             st2, loss = fn(state, batch, key)
             float(loss)  # host fetch = true barrier
