@@ -50,11 +50,19 @@ DENSE_LOOKUP_MAX_ROWS = 2048
 @dataclasses.dataclass(frozen=True)
 class TableSpec:
     """One embedding table: ``vocab_size`` real rows + 1 PAD/OOV row,
-    row-padded to ROW_ALIGN for even sharding."""
+    row-padded to ROW_ALIGN for even sharding.
+
+    init: 'normal' = truncated_normal(1/sqrt(dim)) (TF embedding_column
+    default); 'zeros' for linear/first-order weight tables — the reference's
+    equivalent is a glorot Dense(1) over a |V|-wide one-hot, whose init scale
+    ~sqrt(2/|V|) is effectively zero (truncated_normal(1.0) on a dim-1 table
+    buries the first-order signal in noise and measurably slows FM-family
+    convergence)."""
 
     name: str
     vocab_size: int
     dim: int
+    init: str = "normal"
 
     @property
     def num_rows(self) -> int:
@@ -94,7 +102,10 @@ class EmbeddingCollection(nn.Module):
     def setup(self):
         params = {}
         for name, spec in self.tables.items():
-            init = _table_init(spec.dim)
+            init = (
+                nn.initializers.zeros if spec.init == "zeros"
+                else _table_init(spec.dim)
+            )
             if self.shard_axis is not None:
                 init = nn.with_partitioning(init, (self.shard_axis, None))
             params[name] = self.param(name, init, (spec.num_rows, spec.dim))

@@ -148,7 +148,7 @@ class FirstOrderLogit(nn.Module):
     @nn.compact
     def __call__(self, batch) -> jax.Array:  # (B,)
         tables = {
-            vocab: TableSpec(vocab, self.schema.vocab_sizes[vocab], 1)
+            vocab: TableSpec(vocab, self.schema.vocab_sizes[vocab], 1, init="zeros")
             for _, vocab, _ in self.fields
         }
         embed = EmbeddingCollection(tables=tables, name="embed_w")

@@ -58,7 +58,8 @@ class WideAndDeep(nn.Module):
         )  # (B, T_tag)
         wide_tables = {
             "cross_userid_manualtag": TableSpec(
-                "cross_userid_manualtag", cfg.cross_hash_buckets, 1
+                "cross_userid_manualtag", cfg.cross_hash_buckets, 1,
+                init="zeros",  # linear weights; TF inits FTRL linear parts ~0
             )
         }
         wide_embed = EmbeddingCollection(tables=wide_tables, name="wide_embed_w")
