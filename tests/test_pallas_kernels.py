@@ -115,7 +115,7 @@ def test_bst_mha_fused_matches_reference():
                                    rtol=1e-4, atol=1e-5 * max(scale, 1.0))
 
 
-def test_bst_block_fused_matches_plain():
+def test_bst_core_module_path_matches_plain():
     from recalgorithm_tpu.ops.attention import BSTTransformerBlock
 
     B, T, d = 128, 51, 16
@@ -131,3 +131,32 @@ def test_bst_block_fused_matches_plain():
     out_f = fused.apply(params, x, lengths)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bst_block_fused_matches_plain():
+    """Whole-block kernel (fused='block'): forward + all param grads match
+    the plain flax block (interpret mode)."""
+    from recalgorithm_tpu.ops.attention import BSTTransformerBlock
+
+    B, T, d = 128, 51, 16
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
+    plain = BSTTransformerBlock(3, T)
+    params = plain.init(jax.random.key(0), x, lengths)
+    blockm = BSTTransformerBlock(3, T, fused="block", interpret=True)
+    assert (jax.tree.structure(blockm.init(jax.random.key(0), x, lengths))
+            == jax.tree.structure(params))
+    np.testing.assert_allclose(
+        np.asarray(blockm.apply(params, x, lengths)),
+        np.asarray(plain.apply(params, x, lengths)),
+        rtol=1e-4, atol=1e-5,
+    )
+    g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x, lengths) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(blockm.apply(p, x, lengths) ** 2))(params)
+    # errors are f32-recompute noise, judged against the dominant grad scale
+    dom = max(float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(g1))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * dom
+        )
