@@ -147,8 +147,11 @@ class FirstOrderLogit(nn.Module):
 
     @nn.compact
     def __call__(self, batch) -> jax.Array:  # (B,)
+        # width 8, only column 0 used: width-1 gathers lower to ~4x-slower
+        # element gathers on TPU; the padding columns get zero gradients and
+        # stay zero (see the same trick on the W&D cross table).
         tables = {
-            vocab: TableSpec(vocab, self.schema.vocab_sizes[vocab], 1, init="zeros")
+            vocab: TableSpec(vocab, self.schema.vocab_sizes[vocab], 8, init="zeros")
             for _, vocab, _ in self.fields
         }
         embed = EmbeddingCollection(tables=tables, name="embed_w")

@@ -57,8 +57,12 @@ class WideAndDeep(nn.Module):
             batch["userid"], batch["manual_tag_list"], cfg.cross_hash_buckets
         )  # (B, T_tag)
         wide_tables = {
+            # width 8, only column 0 carries the weight: a width-1 gather
+            # lowers to a 4x-slower element gather on TPU (measured 708us vs
+            # 187us for 98k ids); the extra columns get zero gradients and
+            # stay zero, so the linear map is unchanged.
             "cross_userid_manualtag": TableSpec(
-                "cross_userid_manualtag", cfg.cross_hash_buckets, 1,
+                "cross_userid_manualtag", cfg.cross_hash_buckets, 8,
                 init="zeros",  # linear weights; TF inits FTRL linear parts ~0
             )
         }
