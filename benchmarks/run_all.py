@@ -92,7 +92,14 @@ def main():
         rows.append(r)
 
     out_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(out_dir, "RESULTS.json"), "w") as f:
+    results_json = os.path.join(out_dir, "RESULTS.json")
+    if args.models and os.path.exists(results_json):
+        # subset run: merge into the existing full table
+        with open(results_json) as f:
+            old = {r["model"]: r for r in json.load(f).get("results", [])}
+        old.update({r["model"]: r for r in rows})
+        rows = [old[k] for k in sorted(old)]
+    with open(results_json, "w") as f:
         json.dump({"platform": platform, "batch_size": args.batch_size,
                    "results": rows}, f, indent=2)
     with open(os.path.join(out_dir, "RESULTS.md"), "w") as f:

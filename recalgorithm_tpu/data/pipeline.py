@@ -167,6 +167,23 @@ def load_dataset(
     return load_tfrecord_dataset(path, schema, vocabs, limit=limit)
 
 
+def _gather_rows(data: DatasetArrays, order: np.ndarray) -> dict[str, np.ndarray]:
+    """Epoch shuffle gather: native threaded row-memcpy when available
+    (runtime/loader.permute_rows; scales with host cores), numpy otherwise."""
+    try:
+        from recalgorithm_tpu.runtime.loader import permute_rows
+    except Exception:  # no compiler on this host
+        return data.row_batch(order)
+    out = {"dense": permute_rows(data.dense, order),
+           "labels": permute_rows(data.labels, order)}
+    for name, arr in data.categorical.items():
+        out[name] = permute_rows(arr, order)
+    for name, (ids, lengths) in data.sequences.items():
+        out[name] = permute_rows(ids, order)
+        out[name + "_len"] = permute_rows(lengths, order)
+    return out
+
+
 def batches(
     data: DatasetArrays,
     batch_size: int,
@@ -188,7 +205,7 @@ def batches(
     for epoch in range(num_epochs):
         if shuffle:
             order = np.random.default_rng((seed, epoch)).permutation(n)
-            flat = data.row_batch(order)  # one gather pass for the epoch
+            flat = _gather_rows(data, order)  # one gather pass for the epoch
         else:
             flat = data.as_flat()  # zero-copy views
         for start in range(0, n, batch_size):

@@ -17,6 +17,8 @@
 #include <string>
 #include <unordered_map>
 #include <vector>
+#include <thread>
+#include <algorithm>
 
 namespace {
 
@@ -371,6 +373,37 @@ int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
   }
   fclose(f);
   return row;
+}
+
+// ---------------------------------------------------------------------------
+// permute_rows: parallel random-row gather dst[i] = src[order[i]].
+//
+// The input pipeline shuffles by permuting the whole epoch once and then
+// serving contiguous views (data/pipeline.py).  numpy's fancy indexing does
+// this gather single-threaded through generic strided machinery; a straight
+// per-row memcpy fanned over threads is ~the memory bandwidth limit and
+// scales with host cores (feeding multiple chips needs >2M rows/s).
+// ---------------------------------------------------------------------------
+void permute_rows(const char* src, char* dst, const int64_t* order,
+                  int64_t n_rows, int64_t row_bytes, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      memcpy(dst + i * row_bytes, src + order[i] * row_bytes, row_bytes);
+  };
+  if (n_threads == 1) {
+    work(0, n_rows);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n_rows, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -29,7 +29,8 @@ _lib = None
 
 def _build() -> None:
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC,
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-o", _SO, _SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -59,6 +60,11 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.permute_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32,
         ]
         _lib = lib
@@ -154,3 +160,30 @@ def read_dataset(
         )
     finally:
         lib.reader_destroy(reader)
+
+
+def permute_rows(arr: "np.ndarray", order: "np.ndarray",
+                 n_threads: int | None = None) -> "np.ndarray":
+    """dst[i] = arr[order[i]] along axis 0 — threaded C row gather.
+
+    ~memory-bandwidth-limited and scales with cores, vs numpy's
+    single-threaded fancy indexing.  Falls back to numpy if the native
+    library cannot be built.
+    """
+    try:
+        lib = _load()
+    except Exception:
+        return arr[order]
+    arr = np.ascontiguousarray(arr)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    out = np.empty_like(arr)
+    row_bytes = arr.dtype.itemsize * int(np.prod(arr.shape[1:], dtype=np.int64))
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.permute_rows(
+        arr.ctypes.data_as(ctypes.c_char_p),
+        out.ctypes.data_as(ctypes.c_char_p),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        arr.shape[0], row_bytes, n_threads,
+    )
+    return out
