@@ -131,6 +131,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         train_iter = gen.batches(cfg.batch_size, cfg.train_steps)
         eval_fn = lambda: gen.batches(cfg.batch_size, 16, start_seed=10_000_000)
         eval_labels = None
+        eval_ids = {}
     else:
         from recalgorithm_tpu.data import pipeline
         from recalgorithm_tpu.features.vocab import VocabularyStore
@@ -156,6 +157,8 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             eval_arrays, cfg.batch_size, num_epochs=1, shuffle=False
         )
         eval_labels = eval_arrays.labels
+        eval_ids = {k: eval_arrays.categorical[k] for k in ("userid", "feedid")
+                    if k in eval_arrays.categorical}
 
     # ---- model + trainer
     model = model_cls(config=cfg, schema=schema)
@@ -202,13 +205,15 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
     with open(args.predictions_csv, "w", newline="") as f:
         writer = csv.writer(f)
         tasks = list(cfg.task_names)
-        header = [f"{t}_probabilities" for t in tasks]
+        id_cols = sorted(eval_ids)
+        header = id_cols + [f"{t}_probabilities" for t in tasks]
         if eval_labels is not None:
             header += list(schema.labels)
         writer.writerow(header)
         n = len(next(iter(probs.values())))
         for i in range(n):
-            row = [f"{probs[t][i]:.6f}" for t in tasks]
+            row = [str(int(eval_ids[c][i])) for c in id_cols if i < len(eval_ids[c])]
+            row += [f"{probs[t][i]:.6f}" for t in tasks]
             if eval_labels is not None and i < len(eval_labels):
                 row += [f"{v:g}" for v in eval_labels[i]]
             writer.writerow(row)

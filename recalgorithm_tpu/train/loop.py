@@ -68,7 +68,11 @@ class TrainerConfig:
     model_dir: str = "./model_dir"
     train_steps: int = 10000
     log_every: int = 100
-    eval_every_steps: int = 0  # 0 = only final eval (reference throttles by time)
+    eval_every_steps: int = 0  # 0 = no step-triggered eval
+    # time-based eval throttle, the reference's EvalSpec(throttle_secs=600)
+    # (wide_and_deep.py:350-355): evaluate when at least this many seconds
+    # have passed since the last eval. 0 disables (final eval always runs).
+    eval_throttle_secs: float = 0.0
     save_checkpoints_steps: int = 1000
     keep_best: int = 5  # BestExporter(exports_to_keep=5)
     seed: int = 42
@@ -317,6 +321,7 @@ class Trainer:
                 state, _ = self._train_jit(state, batch, sub)
 
         t0 = time.time()
+        last_eval_time = time.time()
         last_log_step = int(state.step)
         final_eval: dict[str, float] = {}
         while int(state.step) < cfg.train_steps:
@@ -344,12 +349,14 @@ class Trainer:
                 t0, last_log_step = time.time(), step
             if cfg.save_checkpoints_steps and step % cfg.save_checkpoints_steps == 0:
                 checkpointer.save(state)
-            if (
-                eval_batches_fn is not None
-                and cfg.eval_every_steps
-                and step % cfg.eval_every_steps == 0
-            ):
+            due_steps = cfg.eval_every_steps and step % cfg.eval_every_steps == 0
+            due_time = (
+                cfg.eval_throttle_secs
+                and time.time() - last_eval_time >= cfg.eval_throttle_secs
+            )
+            if eval_batches_fn is not None and (due_steps or due_time):
                 ev = self.evaluate(state, eval_batches_fn())
+                last_eval_time = time.time()
                 log_fn(f"eval @ {step}: {ev}")
                 summary.scalars(step, {f"eval/{k}": v for k, v in ev.items()})
                 checkpointer.maybe_export_best(

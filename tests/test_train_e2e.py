@@ -118,3 +118,25 @@ def test_bf16_model_learns(tmp_path):
     )
     assert ev["read_comment_auc"] > 0.6
     assert ev["loss"] < 0.6
+
+
+def test_eval_throttle_secs(tmp_path):
+    """throttle_secs parity: time-based evals fire during training and the
+    best-exporter keeps artifacts."""
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=3, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepCrossingConfig(batch_size=64, train_steps=30)
+    model = DeepCrossing(config=cfg, schema=schema)
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("adam", 0.005),
+        TrainerConfig(model_dir=str(tmp_path), train_steps=30, log_every=100,
+                      save_checkpoints_steps=0, eval_throttle_secs=1e-6),
+    )
+    evals = []
+    trainer.train_and_evaluate(
+        gen.batches(64, 30),
+        lambda: gen.batches(64, 2, start_seed=5000),
+        log_fn=lambda msg: evals.append(msg) if msg.startswith("eval @") else None,
+    )
+    assert len(evals) >= 5, evals  # throttle ~0 -> eval after ~every step
+    assert os.path.isdir(os.path.join(str(tmp_path), "export"))
