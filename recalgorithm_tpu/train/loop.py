@@ -37,7 +37,6 @@ import numpy as np
 import optax
 import flax
 from flax import struct
-from flax.training import train_state as flax_train_state
 
 from recalgorithm_tpu.parallel import mesh as mesh_lib
 from recalgorithm_tpu.train import metrics as M
