@@ -1,0 +1,115 @@
+"""True multi-process training test: 2 processes x 4 CPU devices each.
+
+The reference has no distributed story at all (SURVEY.md §2.4); this
+validates ours end-to-end: `jax.distributed.initialize` over a local
+coordinator, an 8-device global mesh, per-host input shards assembled with
+`multihost.global_batch`, and a sharded Trainer step — asserting both
+processes converge to the SAME loss as a single-process 8-device run on the
+identical global batch stream.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+import jax.numpy as jnp
+from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+from recalgorithm_tpu.features.schema import wechat_schema
+from recalgorithm_tpu.models.deep_crossing import DeepCrossing, DeepCrossingConfig
+from recalgorithm_tpu.parallel import mesh as mesh_lib, multihost
+from recalgorithm_tpu.train import optimizers
+from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
+
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 4 * nproc, len(jax.devices())
+
+gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=5, vocab_scale=0.003))
+schema = wechat_schema(gen.vocab_sizes())
+cfg = DeepCrossingConfig(batch_size=64, train_steps=4)
+model = DeepCrossing(config=cfg, schema=schema)
+mesh = mesh_lib.make_mesh(num_model=1)
+trainer = Trainer(model, cfg.task_names, optimizers.build("adam", 0.01),
+                  TrainerConfig(model_dir=f"/tmp/mh_{pid}", save_checkpoints_steps=0,
+                                rng_impl="threefry2x32"),
+                  mesh=mesh)
+B = 64
+state = trainer.init_state(gen.batch(B, 0))
+trainer._compile()
+rng = jax.random.key(123, impl="threefry2x32")
+loss = None
+for i in range(4):
+    full = gen.batch(B, i)                       # same global stream everywhere
+    lo, hi = multihost.host_shard_range(B)
+    local = {k: v[lo:hi] for k, v in full.items()}
+    batch = multihost.global_batch(local, mesh, B)
+    rng, sub = jax.random.split(rng)
+    state, loss = trainer._train_jit(state, batch, sub)
+print("FINAL_LOSS", float(loss))
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _single_process_loss() -> float:
+    """Same 4 steps on a single-process 8-device mesh."""
+    code = _WORKER.replace(
+        'jax.distributed.initialize(\n    coordinator_address=f"127.0.0.1:{port}",'
+        " num_processes=nproc, process_id=pid\n)", "",
+    ).replace("assert jax.process_count() == nproc, jax.process_count()", "")
+    code = code.replace(
+        "assert len(jax.devices()) == 4 * nproc, len(jax.devices())",
+        "assert len(jax.devices()) == 8, len(jax.devices())",
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-c", code, "0", "2", "0"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # assertion on device count: 4*nproc == 8 holds for the 8-device run too
+    return float(out.stdout.strip().split("FINAL_LOSS")[-1])
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(pid), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, stderr[-2000:]
+        outs.append(stdout)
+    losses = [float(o.strip().split("FINAL_LOSS")[-1]) for o in outs]
+    # both processes hold the same global state
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # and match a single-process 8-device run on the same stream
+    np.testing.assert_allclose(losses[0], _single_process_loss(), rtol=1e-4)
