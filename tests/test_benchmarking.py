@@ -20,10 +20,11 @@ def test_loop_step_time_positive_and_scales():
     assert us > 0.5, us  # a 512^3 matmul costs >0.5us on any CPU
 
     def step2(state, batch, rng):
-        s = state @ a
-        s = s @ a
+        s = state
+        for _ in range(4):
+            s = s @ a
         return s, jnp.sum(s[0])
 
     us2 = loop_step_time_us(step2, jnp.ones((n, n)), {}, k_small=2, k_big=12,
-                            repeats=2)
-    assert us2 > us * 1.3, (us, us2)  # twice the work -> measurably more
+                            repeats=3)
+    assert us2 > us * 1.5, (us, us2)  # 4x the work -> clearly more
