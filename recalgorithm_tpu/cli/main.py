@@ -79,6 +79,11 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
     parser.add_argument("--limit_examples", type=int, default=None,
                         help="cap examples read from TFRecords (debug)")
     parser.add_argument("--eval_every_steps", type=int, default=0)
+    parser.add_argument(
+        "--eval_throttle_secs", type=float, default=600.0,
+        help="evaluate when this many seconds passed since the last eval "
+             "(reference EvalSpec(throttle_secs=600)); 0 disables",
+    )
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--num_model_shards", type=int, default=1,
                         help="mesh 'model' axis size (1 = pure data parallel)")
@@ -157,8 +162,16 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             eval_arrays, cfg.batch_size, num_epochs=1, shuffle=False
         )
         eval_labels = eval_arrays.labels
-        eval_ids = {k: eval_arrays.categorical[k] for k in ("userid", "feedid")
-                    if k in eval_arrays.categorical}
+        eval_ids = {}
+        # Original string tokens for the id columns, via the inverse vocab —
+        # the reference joins predictions with the raw test CSV so
+        # predictions.csv carries real userid/feedid strings
+        # (wide_and_deep.py:370-375); vocab-remapped integers would mismatch
+        # every row of any downstream join.
+        for k in ("userid", "feedid"):
+            if k in eval_arrays.categorical:
+                toks = np.asarray([""] + vocabs[k].tokens(), dtype=object)
+                eval_ids[k] = toks[eval_arrays.categorical[k]]
 
     # ---- model + trainer
     model = model_cls(config=cfg, schema=schema)
@@ -186,6 +199,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             train_steps=cfg.train_steps,
             log_every=args.log_every,
             eval_every_steps=args.eval_every_steps,
+            eval_throttle_secs=args.eval_throttle_secs,
             save_checkpoints_steps=cfg.save_checkpoints_steps,
             seed=args.seed,
         ),
@@ -200,6 +214,20 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
 
     # ---- predictions.csv (reference wide_and_deep.py:370-375)
     probs = trainer.predict(state, eval_fn())
+
+    # Unbinned rank AUC beside the 200-bin streaming approximation: the
+    # binned metric matches tf.metrics.auc for comparability, the exact one
+    # is the ground truth it approximates (train/metrics.py:exact_auc).
+    if eval_labels is not None:
+        from recalgorithm_tpu.train.metrics import exact_auc
+
+        label_idx = {name: i for i, name in enumerate(schema.labels)}
+        for t in cfg.task_names:
+            if t in label_idx and len(probs[t]) == len(eval_labels):
+                v = exact_auc(eval_labels[:, label_idx[t]], probs[t])
+                final_eval[f"{t}_exact_auc"] = v
+                print(f"{t}_exact_auc: {v}")
+
     import csv
 
     with open(args.predictions_csv, "w", newline="") as f:
@@ -211,8 +239,13 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             header += list(schema.labels)
         writer.writerow(header)
         n = len(next(iter(probs.values())))
+        for c in id_cols:
+            assert len(eval_ids[c]) == n, (
+                f"id column {c!r} has {len(eval_ids[c])} rows but predictions "
+                f"have {n}; refusing to write a misaligned predictions.csv"
+            )
         for i in range(n):
-            row = [str(int(eval_ids[c][i])) for c in id_cols if i < len(eval_ids[c])]
+            row = [str(eval_ids[c][i]) for c in id_cols]
             row += [f"{probs[t][i]:.6f}" for t in tasks]
             if eval_labels is not None and i < len(eval_labels):
                 row += [f"{v:g}" for v in eval_labels[i]]

@@ -52,26 +52,40 @@ class WideAndDeep(nn.Module):
     @nn.compact
     def __call__(self, batch, train: bool = False) -> dict[str, jax.Array]:
         cfg = self.config
-        # ---- wide: hashed userid x manual_tag cross -> per-bucket weights
+        # ---- wide: hashed cross -> per-bucket weights.  The cross spec
+        # (which fields, bucket count) comes from the schema's CrossFeature
+        # (features/schema.py wechat_schema: userid x manual_tag_list,
+        # reference wide_and_deep.py:121-124); the --cross_hash_buckets flag
+        # overrides the bucket count for sweep parity.
+        spec = self.schema.cross[0]
+        num_buckets = cfg.cross_hash_buckets or spec.num_buckets
         cross_ids = hashed_cross(
-            batch["userid"], batch["manual_tag_list"], cfg.cross_hash_buckets
+            batch[spec.keys[0]], batch[spec.keys[1]], num_buckets
         )  # (B, T_tag)
         wide_tables = {
             # width 8, only column 0 carries the weight: a width-1 gather
             # lowers to a 4x-slower element gather on TPU (measured 708us vs
             # 187us for 98k ids); the extra columns get zero gradients and
             # stay zero, so the linear map is unchanged.
-            "cross_userid_manualtag": TableSpec(
-                "cross_userid_manualtag", cfg.cross_hash_buckets, 8,
+            spec.name: TableSpec(
+                spec.name, num_buckets, 8,
                 init="zeros",  # linear weights; TF inits FTRL linear parts ~0
             )
         }
         wide_embed = EmbeddingCollection(tables=wide_tables, name="wide_embed_w")
         wide_bias = self.param("wide_bias", nn.initializers.zeros, (1,))
         wide_logit = (
-            wide_embed.embed_pooled("cross_userid_manualtag", cross_ids, "sum")[:, 0]
+            wide_embed.embed_pooled(spec.name, cross_ids, "sum")[:, 0]
             + wide_bias[0]
         )
+        # tf.summary.histogram('wide_part_kernel') + its L2 norm
+        # (wide_and_deep.py:288-291): only column 0 carries weight (see the
+        # width-8 note above).  The Trainer histograms non-scalar summaries.
+        wide_kernel = wide_embed.table(spec.name)[:, 0]
+        keep = lambda prev, new: new
+        self.sow("summaries", "wide_part_kernel", wide_kernel, reduce_fn=keep)
+        self.sow("summaries", "wide_part_kernel_l2_norm",
+                 jnp.sqrt(jnp.sum(wide_kernel**2)), reduce_fn=keep)
 
         # ---- deep: dense + embeddings -> MLP
         embedder = common.FieldEmbedder(
@@ -107,3 +121,8 @@ class WideAndDeep(nn.Module):
 
 
 common.register_model("WideAndDeep", WideAndDeepConfig, WideAndDeep)
+# The reference's wide_and_deep_builtin.py drives the same features and
+# architecture through the canned tf.estimator.DNNLinearCombinedClassifier
+# (wide_and_deep_builtin.py:186-193) — it is the same model behind a canned
+# API, so the registry exposes it as an alias of this class.
+common.register_model("WideAndDeepBuiltin", WideAndDeepConfig, WideAndDeep)

@@ -47,14 +47,23 @@ class ExpertGroup(nn.Module):
 
 
 class SoftmaxGate(nn.Module):
-    """Bias-free softmax gate over experts (mmoe.py:218-224, paper parity)."""
+    """Bias-free softmax gate over experts (mmoe.py:218-224, paper parity).
+
+    Sows the batch-mean gate weights into the ``summaries`` collection —
+    the reference's LoggingTensorHook prints gate softmax outputs per task
+    every 100 steps (mmoe.py:294-309); the Trainer logs these per-expert
+    means whenever the collection is mutable.
+    """
 
     num_experts: int
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, in) -> (B, E)
         w = self.param("kernel", glorot_uniform, (x.shape[-1], self.num_experts))
-        return jax.nn.softmax(x @ w, axis=-1)
+        gate = jax.nn.softmax(x @ w, axis=-1)
+        self.sow("summaries", "gate_mean", jnp.mean(gate, axis=0),
+                 reduce_fn=lambda prev, new: new)
+        return gate
 
 
 def mix_experts(experts: jax.Array, gate: jax.Array) -> jax.Array:

@@ -114,7 +114,7 @@ def _pick_tile(b: int, max_tile: int = 256) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def bst_mha_fused(
+def _bst_mha_core(
     q: jax.Array,        # (B, H, T, d) f32
     k: jax.Array,        # (B, H, T, d) f32
     v: jax.Array,        # (B, H, T, d) f32
@@ -151,7 +151,7 @@ def bst_mha_fused(
 
 
 def _mha_fwd(q, k, v, lengths, interpret):
-    return bst_mha_fused(q, k, v, lengths, interpret), (q, k, v, lengths)
+    return _bst_mha_core(q, k, v, lengths, interpret), (q, k, v, lengths)
 
 
 def _mha_bwd(interpret, res, g):
@@ -193,7 +193,31 @@ def _mha_bwd(interpret, res, g):
     return dq, dk, dv, None
 
 
-bst_mha_fused.defvjp(_mha_fwd, _mha_bwd)
+_bst_mha_core.defvjp(_mha_fwd, _mha_bwd)
+
+
+def bst_mha_fused(
+    q: jax.Array,        # (B, H, T, d) f32
+    k: jax.Array,
+    v: jax.Array,
+    lengths: jax.Array,  # (B,) int32
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused BST multi-head attention for any batch size.
+
+    The kernel tiles the batch in 128-lane blocks; batches that are not a
+    multiple of 128 are zero-padded up to one (padded rows get length 1 so
+    their softmax stays finite) and sliced back, so any configured
+    ``batch_size`` works — padding a 4095-row batch costs one extra tile.
+    """
+    b = q.shape[0]
+    pad = (-b) % 128
+    if pad == 0:
+        return _bst_mha_core(q, k, v, lengths, interpret)
+    padded = [jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0))) for x in (q, k, v)]
+    lengths_p = jnp.pad(lengths, (0, pad), constant_values=1)
+    out = _bst_mha_core(*padded, lengths_p, interpret)
+    return out[:b]
 
 
 def mha_reference(q, k, v, lengths):

@@ -331,7 +331,7 @@ def _tile(b):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def bst_block_fused(
+def _bst_block_core(
     x: jax.Array,        # (B, T, d) f32
     lengths: jax.Array,  # (B,) int32, incl. the target slot
     params: dict,        # BSTTransformerBlock param tree (position_embedding,
@@ -367,7 +367,7 @@ def bst_block_fused(
 
 
 def _blk_fwd(x, lengths, params, num_heads, max_length, interpret):
-    out = bst_block_fused(x, lengths, params, num_heads, max_length, interpret)
+    out = _bst_block_core(x, lengths, params, num_heads, max_length, interpret)
     return out, (x, lengths, params)
 
 
@@ -434,4 +434,24 @@ def _blk_bwd(num_heads, max_length, interpret, res, g):
     return dx, None, dparams
 
 
-bst_block_fused.defvjp(_blk_fwd, _blk_bwd)
+_bst_block_core.defvjp(_blk_fwd, _blk_bwd)
+
+
+def bst_block_fused(
+    x: jax.Array,        # (B, T, d) f32
+    lengths: jax.Array,  # (B,) int32, incl. the target slot
+    params: dict,
+    num_heads: int,
+    max_length: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole-block fused BST for any batch size (zero-pads B to 128 lanes)."""
+    b = x.shape[0]
+    pad = (-b) % 128
+    if pad == 0:
+        return _bst_block_core(x, lengths, params, num_heads, max_length,
+                               interpret)
+    x_p = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    len_p = jnp.pad(lengths, (0, pad), constant_values=1)
+    out = _bst_block_core(x_p, len_p, params, num_heads, max_length, interpret)
+    return out[:b]

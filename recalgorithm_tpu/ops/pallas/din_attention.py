@@ -128,7 +128,7 @@ def din_attention_reference(query, keys, lengths, params, use_softmax=False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def din_attention_fused(
+def _din_attention_core(
     query: jax.Array,    # (B, H) f32
     keys: jax.Array,     # (B, T, H) f32
     lengths: jax.Array,  # (B,) i32
@@ -173,7 +173,7 @@ def din_attention_fused(
 
 
 def _fused_fwd(query, keys, lengths, params, use_softmax, tile_b, interpret):
-    out = din_attention_fused(
+    out = _din_attention_core(
         query, keys, lengths, params, use_softmax, tile_b, interpret
     )
     return out, (query, keys, lengths, params)
@@ -189,4 +189,36 @@ def _fused_bwd(use_softmax, tile_b, interpret, res, g):
     return dq, dk, None, dp
 
 
-din_attention_fused.defvjp(_fused_fwd, _fused_bwd)
+_din_attention_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+def din_attention_fused(
+    query: jax.Array,    # (B, H) f32
+    keys: jax.Array,     # (B, T, H) f32
+    lengths: jax.Array,  # (B,) i32
+    params: dict,
+    use_softmax: bool = False,
+    tile_b: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused DIN target attention for any batch size.
+
+    Zero-pads the batch to a multiple of 128 lanes (padded rows get length 0
+    -> zero attention output) and picks the largest tile that divides it, so
+    arbitrary configured batch sizes work.
+    """
+    b = query.shape[0]
+    pad = (-b) % 128
+    bp = b + pad
+    tile = next(t for t in (tile_b, 1024, 512, 256, 128) if t <= bp and bp % t == 0)
+    if pad == 0:
+        return _din_attention_core(
+            query, keys, lengths, params, use_softmax, tile, interpret
+        )
+    q_p = jnp.pad(query, ((0, pad), (0, 0)))
+    k_p = jnp.pad(keys, ((0, pad), (0, 0), (0, 0)))
+    len_p = jnp.pad(lengths, (0, pad))
+    out = _din_attention_core(
+        q_p, k_p, len_p, params, use_softmax, tile, interpret
+    )
+    return out[:b]

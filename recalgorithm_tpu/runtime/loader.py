@@ -170,6 +170,12 @@ def permute_rows(arr: "np.ndarray", order: "np.ndarray",
     single-threaded fancy indexing.  Falls back to numpy if the native
     library cannot be built.
     """
+    if len(order) != arr.shape[0]:
+        raise ValueError(
+            f"permute_rows needs a full permutation: len(order)={len(order)} "
+            f"!= rows={arr.shape[0]} (the C gather loops over rows and would "
+            "read past the end of a shorter order)"
+        )
     try:
         lib = _load()
     except Exception:

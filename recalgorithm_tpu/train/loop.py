@@ -60,6 +60,9 @@ class TrainState:
     opt_state: optax.OptState
     loss_mean: M.ScalarMeanState
     task_metrics: dict  # task -> TaskMetrics
+    # last step's "summaries" collection (gate weights, kernel norms, ...);
+    # logged every log_every steps (LoggingTensorHook / tf.summary parity)
+    summaries: dict = struct.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -124,6 +127,9 @@ class Trainer:
             opt_state=self.tx.init(params),
             loss_mean=M.ScalarMeanState.init(),
             task_metrics={t: TaskMetrics.init() for t in self.task_names},
+            # seed the summaries pytree so the train step's output structure
+            # matches its input (one jit signature, no retrace at step 2)
+            summaries=variables.get("summaries", {}),
         )
         if self.mesh is not None:
             shardings = mesh_lib.param_shardings(params, self.mesh)
@@ -146,7 +152,9 @@ class Trainer:
 
     def _loss_and_logits(self, params, batch_stats, batch, train, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        mutable = ["batch_stats", "losses"] if train else ["losses"]
+        mutable = (
+            ["batch_stats", "losses", "summaries"] if train else ["losses"]
+        )
         rngs = {"dropout": rng} if rng is not None else None
         logits, updates = self.model.apply(
             variables, batch, train=train, rngs=rngs, mutable=mutable
@@ -168,7 +176,7 @@ class Trainer:
         for leaf in jax.tree.leaves(reg):
             total = total + jnp.sum(leaf)
         new_bs = updates.get("batch_stats", batch_stats)
-        return total, (logits, new_bs, per_task)
+        return total, (logits, new_bs, per_task, updates.get("summaries", {}))
 
     def _update_metrics(self, state: TrainState, batch, logits, loss):
         weights = batch.get("_weights")
@@ -194,7 +202,7 @@ class Trainer:
 
     def _train_step(self, state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(self._loss_and_logits, has_aux=True)
-        (loss, (logits, new_bs, _)), grads = grad_fn(
+        (loss, (logits, new_bs, _, summaries)), grads = grad_fn(
             state.params, state.batch_stats, batch, True, rng
         )
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
@@ -204,11 +212,12 @@ class Trainer:
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt,
+            summaries=summaries,
         )
         return self._update_metrics(state, batch, logits, loss), loss
 
     def _eval_step(self, params, batch_stats, batch, eval_state):
-        loss, (logits, _, _) = self._loss_and_logits(
+        loss, (logits, _, _, _) = self._loss_and_logits(
             params, batch_stats, batch, False, None
         )
         return self._update_metrics(eval_state, batch, logits, loss)
@@ -247,6 +256,39 @@ class Trainer:
         return jax.tree.map(jnp.asarray, batch)
 
     # -- metric reporting ----------------------------------------------------
+
+    def _log_summaries(self, writer, step: int, state, log_fn) -> None:
+        """Log the model's sown summaries (gate weights, kernel norms, ...).
+
+        Scalars and short vectors (gate means) go to the scalar stream and
+        the console — LoggingTensorHook parity (reference mmoe.py:294-309);
+        larger tensors (the W&D wide kernel) become histogram records
+        (tf.summary.histogram parity, wide_and_deep.py:288-291).
+        """
+        if not state.summaries:
+            return
+        flat = jax.tree_util.tree_flatten_with_path(state.summaries)[0]
+        scalars: dict[str, float] = {}
+        console: list[str] = []
+        for path, leaf in flat:
+            keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+            tag = "/".join(k for k in keys if k)
+            v = np.asarray(leaf)
+            if v.size == 1:
+                scalars[f"summaries/{tag}"] = float(v)
+                console.append(f"{tag}={float(v):.5f}")
+            elif v.size <= 32:
+                for i, x in enumerate(v.ravel()):
+                    scalars[f"summaries/{tag}/{i}"] = float(x)
+                console.append(
+                    f"{tag}=[" + " ".join(f"{x:.4f}" for x in v.ravel()) + "]"
+                )
+            else:
+                writer.histogram(step, f"summaries/{tag}", v)
+        if scalars:
+            writer.scalars(step, scalars)
+        if console:
+            log_fn(f"step {step} summaries: " + " ".join(console))
 
     def _metrics_snapshot(self, state) -> dict[str, float]:
         out = {"loss": float(M.mean_compute(state.loss_mean))}
@@ -345,6 +387,7 @@ class Trainer:
                 )
                 summary.scalars(step, {f"train/{k}": v for k, v in snap.items()}
                                 | {"train/examples_per_s": rate})
+                self._log_summaries(summary, step, state, log_fn)
                 t0, last_log_step = time.time(), step
             if cfg.save_checkpoints_steps and step % cfg.save_checkpoints_steps == 0:
                 checkpointer.save(state)

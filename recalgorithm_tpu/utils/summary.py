@@ -42,6 +42,26 @@ class SummaryWriter:
             for k, v in values.items():
                 self._tb.scalar(k, float(v), step)
 
+    def histogram(self, step: int, tag: str, values, bins: int = 30) -> None:
+        """tf.summary.histogram parity: binned counts + moments as JSONL."""
+        import numpy as np
+
+        v = np.asarray(values, dtype=np.float64).ravel()
+        counts, edges = np.histogram(v, bins=bins)
+        rec = {
+            "step": int(step), "time": time.time(), "histogram": tag,
+            "mean": float(v.mean()), "std": float(v.std()),
+            "min": float(v.min()), "max": float(v.max()),
+            "counts": counts.tolist(),
+            "edges": [float(e) for e in edges],
+        }
+        self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            try:
+                self._tb.histogram(tag, v, step)
+            except Exception:
+                pass
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:

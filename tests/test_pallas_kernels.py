@@ -160,3 +160,60 @@ def test_bst_block_fused_matches_plain():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * dom
         )
+
+
+def test_bst_mha_fused_odd_batch():
+    """Non-128-multiple batches are padded internally (ADVICE round 1)."""
+    from recalgorithm_tpu.ops.pallas.bst_attention import (
+        bst_mha_fused, mha_reference,
+    )
+
+    B, H, T, d = 100, 2, 51, 16
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
+    out = bst_mha_fused(q, k, v, lengths, True)
+    assert out.shape == (B, H, T, d)
+    want = mha_reference(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # gradients flow through the pad/slice wrapper
+    g = jax.grad(lambda q: jnp.sum(bst_mha_fused(q, k, v, lengths, True) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(mha_reference(q, k, v, lengths) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_din_fused_odd_batch():
+    rng = np.random.default_rng(4)
+    b = 75
+    q = jnp.asarray(rng.normal(size=(b, H)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, T, H)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(0, T + 1, b, dtype=np.int32))
+    att = DINAttention(use_softmax=True)
+    params = att.init(jax.random.key(0), q, k, lengths)["params"]
+    want = np.asarray(att.apply({"params": params}, q, k, lengths))
+    got = np.asarray(
+        din_attention_fused(q, k, lengths, params, True, 1024, True)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_bst_block_fused_odd_batch():
+    from recalgorithm_tpu.ops.attention import BSTTransformerBlock
+
+    B, T, d = 96, 51, 16
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
+    plain = BSTTransformerBlock(3, T)
+    params = plain.init(jax.random.key(0), x, lengths)
+    blockm = BSTTransformerBlock(3, T, fused="block", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(blockm.apply(params, x, lengths)),
+        np.asarray(plain.apply(params, x, lengths)),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -35,3 +35,11 @@ def test_native_limit(tmp_path):
     schema = wechat_schema(vocabs.sizes())
     cc = loader.read_dataset(path, schema, vocabs, limit=5)
     assert cc.num_examples == 5
+
+
+def test_permute_rows_rejects_partial_order():
+    from recalgorithm_tpu.runtime.loader import permute_rows
+
+    arr = np.arange(20, dtype=np.float32).reshape(10, 2)
+    with pytest.raises(ValueError, match="full permutation"):
+        permute_rows(arr, np.arange(5, dtype=np.int64))

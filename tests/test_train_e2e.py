@@ -140,3 +140,38 @@ def test_eval_throttle_secs(tmp_path):
     )
     assert len(evals) >= 5, evals  # throttle ~0 -> eval after ~every step
     assert os.path.isdir(os.path.join(str(tmp_path), "export"))
+
+
+def test_model_summaries_collection(tmp_path):
+    """Gate-weight / kernel summaries flow: sow -> TrainState -> JSONL.
+
+    LoggingTensorHook parity (reference mmoe.py:294-309 gate weights,
+    wide_and_deep.py:288-291 wide-kernel histogram + L2 norm).
+    """
+    from recalgorithm_tpu.models.mmoe import MMOE, MMOEConfig
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=7, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = MMOEConfig(batch_size=64, train_steps=12, num_experts=3,
+                     expert_hidden_units=32, hidden_units=(16,))
+    model = MMOE(config=cfg, schema=schema)
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("adam", 0.005),
+        TrainerConfig(model_dir=str(tmp_path), train_steps=12, log_every=10,
+                      save_checkpoints_steps=0),
+    )
+    state, _ = trainer.train_and_evaluate(gen.batches(64, 12), None)
+    # per-task gates sown every step; 3 experts -> (3,) batch means
+    flat = jax.tree_util.tree_flatten_with_path(state.summaries)[0]
+    tags = ["/".join(str(getattr(k, "key", "")) for k in p) for p, _ in flat]
+    for task in cfg.task_names:
+        assert any(f"gate_{task}" in t for t in tags), tags
+    for _, leaf in flat:
+        v = np.asarray(leaf)
+        assert v.shape == (3,)
+        np.testing.assert_allclose(v.sum(), 1.0, rtol=1e-5)
+    # and they land in the scalar JSONL at log steps
+    lines = [json.loads(x) for x in open(tmp_path / "summaries" / "scalars.jsonl")]
+    assert any(
+        any(k.startswith("summaries/gate_") for k in r) for r in lines
+    )
