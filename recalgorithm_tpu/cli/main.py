@@ -89,6 +89,9 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
                         help="mesh 'model' axis size (1 = pure data parallel)")
     parser.add_argument("--no_mesh", action="store_true",
                         help="single-device mode without a mesh")
+    parser.add_argument("--shard_map_embeddings", action="store_true",
+                        help="use the explicit shard_map embedding exchange "
+                             "instead of partitioner-derived collectives")
     parser.add_argument("--predictions_csv", default="predictions.csv")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--profile_dir", default=None,
@@ -202,6 +205,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             eval_throttle_secs=args.eval_throttle_secs,
             save_checkpoints_steps=cfg.save_checkpoints_steps,
             seed=args.seed,
+            shard_map_embeddings=args.shard_map_embeddings,
         ),
         mesh=mesh,
     )

@@ -24,6 +24,7 @@ Initializer parity: TF's ``embedding_column`` default is
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Mapping, Sequence
 
@@ -45,6 +46,26 @@ ROW_ALIGN = 256
 # batch 4096).  The one-hot never materialises: XLA fuses the compare +
 # reduce into the (B, R) multi-hot.
 DENSE_LOOKUP_MAX_ROWS = 2048
+
+
+# When set (via shard_map_lookups), gather-path lookups route through the
+# hand-written shard_map exchange in embed/sharded.py instead of relying on
+# the SPMD partitioner to derive collectives from the table's sharding
+# annotation.  Trace-time state: the Trainer wraps its step functions so the
+# mesh is visible while jit traces them.
+_LOOKUP_MESH = None
+
+
+@contextlib.contextmanager
+def shard_map_lookups(mesh):
+    """Route EmbeddingCollection lookups through the explicit shard_map
+    exchange (embed/sharded.py) while tracing under this context."""
+    global _LOOKUP_MESH
+    prev, _LOOKUP_MESH = _LOOKUP_MESH, mesh
+    try:
+        yield
+    finally:
+        _LOOKUP_MESH = prev
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,6 +138,29 @@ class EmbeddingCollection(nn.Module):
     def _is_dense(self, table: str) -> bool:
         return self.tables[table].num_rows <= DENSE_LOOKUP_MAX_ROWS
 
+    def _maybe_sharded_gather(self, tab: jax.Array, ids: jax.Array):
+        """Route through the explicit shard_map exchange when enabled.
+
+        Returns the (ids.shape, dim) embedding or None when the context is
+        off / the shapes don't divide the mesh (callers fall back to the
+        plain gather, whose collectives the partitioner derives).
+        """
+        mesh = _LOOKUP_MESH
+        if mesh is None:
+            return None
+        from recalgorithm_tpu.embed.sharded import sharded_lookup
+        from recalgorithm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        axes = tuple(a for a in (DATA_AXIS, MODEL_AXIS) if a in mesh.shape)
+        n_shards = 1
+        for a in axes:
+            n_shards *= mesh.shape[a]
+        flat_ids = ids.reshape(-1)
+        if tab.shape[0] % n_shards or flat_ids.shape[0] % n_shards:
+            return None
+        emb = sharded_lookup(tab, flat_ids, mesh, axes, axes[0])
+        return emb.reshape(*ids.shape, tab.shape[1])
+
     def embed_scalar(self, table: str, ids: jax.Array) -> jax.Array:
         """(B,) int ids -> (B, dim); id 0 (PAD/OOV) -> zero vector.
 
@@ -128,12 +172,17 @@ class EmbeddingCollection(nn.Module):
         tab = self._params[table]
         if self._is_dense(table):
             return _masked_one_hot(ids, tab.shape[0], tab.dtype) @ tab
-        emb = jnp.take(tab, ids, axis=0, mode="clip")
+        emb = self._maybe_sharded_gather(tab, ids)
+        if emb is None:
+            emb = jnp.take(tab, ids, axis=0, mode="clip")
         return emb * (ids > 0)[:, None].astype(emb.dtype)
 
     def embed_sequence(self, table: str, ids: jax.Array) -> jax.Array:
         """(B, T) padded ids -> (B, T, dim) with zero rows at PAD positions."""
-        emb = jnp.take(self._params[table], ids, axis=0, mode="clip")
+        tab = self._params[table]
+        emb = self._maybe_sharded_gather(tab, ids)
+        if emb is None:
+            emb = jnp.take(tab, ids, axis=0, mode="clip")
         return emb * (ids > 0)[..., None].astype(emb.dtype)
 
     def embed_pooled(

@@ -66,7 +66,7 @@ class PLE(nn.Module):
         # final CGC: per-task gates over (task ∪ shared) experts (ple.py:183-228)
         shared = ExpertGroup(
             cfg.num_experts_in_shared, cfg.expert_hidden_units,
-            compute_dtype=cfg.compute_dtype, name="shared_final",
+            compute_dtype=cfg.compute_dtype, name="experts_shared_final",
         )(x)
         out = {}
         for task, n_task in zip(cfg.task_names, cfg.num_experts_per_task):

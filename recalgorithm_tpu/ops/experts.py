@@ -4,8 +4,10 @@ TPU-first restructuring of the reference's per-expert Python loops
 (mmoe.py:208-224, extraction_network.py:27-85): all experts of a group are a
 single stacked ``(E, in, H)`` weight tensor contracted with one einsum — one
 large MXU matmul instead of E small ones — which also makes true expert
-parallelism a one-line sharding annotation (shard the E axis over the mesh's
-``model`` axis).
+parallelism a sharding annotation: under a mesh, parallel/mesh.py shards the
+E axis of every ExpertGroup param over the ``model`` axis (instance names
+start with 'experts' by convention; equivalence tested in
+tests/test_sharding.py::test_expert_parallelism_matches_single).
 """
 
 from __future__ import annotations
@@ -110,7 +112,7 @@ class ExtractionNetwork(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, in) -> (B, H)
         shared = ExpertGroup(
             self.num_experts_in_shared, self.expert_hidden_units,
-            compute_dtype=self.compute_dtype, name="shared",
+            compute_dtype=self.compute_dtype, name="experts_shared",
         )(x)  # (B, Es, H)
         outputs = []
         all_experts = []

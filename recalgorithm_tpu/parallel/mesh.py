@@ -33,6 +33,11 @@ MODEL_AXIS = "model"
 TABLE_SPEC = P((DATA_AXIS, MODEL_AXIS), None)
 BATCH_SPEC = P(DATA_AXIS)
 REPLICATED = P()
+# Expert parallelism: stacked (E, in, H) expert kernels shard their expert
+# axis over ``model`` (ops/experts.py ExpertGroup) — each model-shard holds
+# E/model experts, gate mixing psums across them (partitioner-derived).
+EXPERT_KERNEL_SPEC = P(MODEL_AXIS, None, None)
+EXPERT_BIAS_SPEC = P(MODEL_AXIS, None)
 
 
 def make_mesh(
@@ -61,12 +66,31 @@ def is_embedding_table_path(path: tuple) -> bool:
     return any(k.startswith("embed") for k in keys)
 
 
+def is_expert_param_path(path) -> bool:
+    """True for params of an ExpertGroup (framework convention: instance
+    names start with 'experts' — MMOE's 'experts', PLE/CGC's
+    'experts_<task>' / 'experts_shared')."""
+    keys = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+    return any(k.startswith("experts") for k in keys)
+
+
+def _spec_for(path, leaf):
+    if is_embedding_table_path(path):
+        return TABLE_SPEC
+    if is_expert_param_path(path):
+        # stacked expert kernels (E, in, H) / biases (E, H): true expert
+        # parallelism over the model axis (SURVEY.md §2.4 item 4)
+        if getattr(leaf, "ndim", 0) == 3:
+            return EXPERT_KERNEL_SPEC
+        if getattr(leaf, "ndim", 0) == 2:
+            return EXPERT_BIAS_SPEC
+    return REPLICATED
+
+
 def param_specs(params) -> object:
-    """PartitionSpec tree: embedding tables row-sharded, the rest replicated."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, _: TABLE_SPEC if is_embedding_table_path(path) else REPLICATED,
-        params,
-    )
+    """PartitionSpec tree: embedding tables row-sharded, expert groups
+    sharded over ``model``, the rest replicated."""
+    return jax.tree_util.tree_map_with_path(_spec_for, params)
 
 
 def param_shardings(params, mesh: Mesh):

@@ -84,6 +84,11 @@ class TrainerConfig:
     # the ravel/unravel relayout costs ~1.5ms, so fusion stays OFF; the knob
     # exists for leaf-heavy models on dispatch-bound backends.
     fuse_optimizer: bool = False
+    # Route embedding lookups through the hand-written shard_map exchange
+    # (embed/sharded.py: all_gather ids -> local gather -> psum_scatter)
+    # instead of partitioner-derived collectives.  Requires a mesh;
+    # numerically identical to the auto path (tests/test_sharding.py).
+    shard_map_embeddings: bool = False
     # PRNG implementation for dropout keys. 'rbg' uses the TPU's hardware RNG
     # instructions — threefry mask generation costs ~1.3ms/step on a
     # 3-tower PLE at batch 4096, rbg makes it free. Both are deterministic
@@ -222,20 +227,38 @@ class Trainer:
         )
         return self._update_metrics(eval_state, batch, logits, loss)
 
+    def _lookup_ctx(self, fn):
+        """Make the shard_map-exchange mesh visible while jit traces `fn`."""
+        if not (self.config.shard_map_embeddings and self.mesh is not None):
+            return fn
+        from recalgorithm_tpu.embed import tables as _tables
+
+        def wrapped(*args):
+            with _tables.shard_map_lookups(self.mesh):
+                return fn(*args)
+
+        return wrapped
+
     def _compile(self):
         if self._compiled is None:
             donate = (0,)
-            self._train_jit = jax.jit(self._train_step, donate_argnums=donate)
-            self._eval_jit = jax.jit(self._eval_step, donate_argnums=(3,))
+            self._train_jit = jax.jit(
+                self._lookup_ctx(self._train_step), donate_argnums=donate
+            )
+            self._eval_jit = jax.jit(
+                self._lookup_ctx(self._eval_step), donate_argnums=(3,)
+            )
             self._predict_jit = jax.jit(
-                lambda params, batch_stats, batch: jax.tree.map(
-                    jax.nn.sigmoid,
-                    self.model.apply(
-                        {"params": params, "batch_stats": batch_stats},
-                        batch,
-                        train=False,
-                        mutable=["losses"],
-                    )[0],
+                self._lookup_ctx(
+                    lambda params, batch_stats, batch: jax.tree.map(
+                        jax.nn.sigmoid,
+                        self.model.apply(
+                            {"params": params, "batch_stats": batch_stats},
+                            batch,
+                            train=False,
+                            mutable=["losses"],
+                        )[0],
+                    )
                 )
             )
             self._compiled = True

@@ -64,3 +64,31 @@ def test_shape_validation():
     mesh, table, ids, table_s, ids_s = _setup()
     with pytest.raises(ValueError, match="not divisible"):
         sharded_lookup(table_s[:100], ids_s, mesh)
+
+
+def test_mixed_mesh_exact_grads():
+    """(data=4, model=2) mesh: forward AND backward exactly match the plain
+    gather — guards the replicated-output transpose bug (cotangents split
+    1/model_size ways when the out_spec omits a mesh axis)."""
+    mesh = mesh_lib.make_mesh(num_model=2)
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(256, 16)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 256, size=(64,)).astype(np.int32))
+    table_s = jax.device_put(
+        table, NamedSharding(mesh, mesh_lib.TABLE_SPEC)
+    )
+    ids_s = jax.device_put(ids, NamedSharding(mesh, P("data")))
+    cot = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+
+    got = jax.jit(lambda t, i: sharded_lookup(t, i, mesh))(table_s, ids_s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(table)[np.asarray(ids)], rtol=1e-6
+    )
+
+    g_sharded = jax.jit(
+        jax.grad(lambda t: jnp.sum(sharded_lookup(t, ids_s, mesh) * cot))
+    )(table_s)
+    g_plain = jax.grad(lambda t: jnp.sum(jnp.take(t, ids, axis=0) * cot))(table)
+    np.testing.assert_allclose(
+        np.asarray(g_sharded), np.asarray(g_plain), rtol=1e-6, atol=1e-7
+    )

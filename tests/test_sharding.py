@@ -86,3 +86,157 @@ def test_dryrun_multichip_hook():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Explicit shard_map embedding exchange, wired into the training path
+# (TrainerConfig.shard_map_embeddings / --shard_map_embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _exchange_trainer(model_name, mesh, model_dir, shard_map_embeddings):
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+
+    # vocab_scale large enough that feedid/authorid tables exceed the
+    # dense-lookup threshold -> the gather path (and the exchange) engages
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=9, vocab_scale=0.05))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg_cls, model_cls = MODEL_REGISTRY[model_name]
+    cfg = cfg_cls(batch_size=32, train_steps=4)
+    model = model_cls(config=cfg, schema=schema)
+    # SGD keeps the comparison meaningful: adaptive optimizers normalise by
+    # sqrt(second moment) and blow ~1e-9 fp reduction-order noise in
+    # near-zero embedding grads up to full-lr sign flips.
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("sgd", 1e-2),
+        TrainerConfig(model_dir=model_dir, train_steps=4,
+                      save_checkpoints_steps=0,
+                      shard_map_embeddings=shard_map_embeddings),
+        mesh=mesh,
+    )
+    return trainer, gen
+
+
+@pytest.mark.parametrize("model_name", ["DIN", "FFM"])
+def test_shard_map_exchange_matches_auto(tmp_path, model_name):
+    """One flag flips between partitioner-derived and explicit collectives;
+    losses and params stay numerically identical (VERDICT round-1 item 2)."""
+    mesh = mesh_lib.make_mesh(num_model=2)
+    results = {}
+    for name, flag in [("auto", False), ("shardmap", True)]:
+        trainer, gen = _exchange_trainer(model_name, mesh,
+                                         str(tmp_path / name), flag)
+        state = trainer.init_state(gen.batch(32, 0))
+        trainer._compile()
+        losses = []
+        rng = jax.random.key(0)
+        for i in range(4):
+            batch = trainer._put_batch(gen.batch(32, i))
+            rng, sub = jax.random.split(rng)
+            state, loss = trainer._train_jit(state, batch, sub)
+            losses.append(float(loss))
+        results[name] = (losses, state)
+    np.testing.assert_allclose(
+        results["auto"][0], results["shardmap"][0], rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(results["auto"][1].params),
+                    jax.tree.leaves(results["shardmap"][1].params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_shard_map_exchange_emits_collectives(tmp_path):
+    """The pinned schedule really is in the compiled module: the id
+    all-gather and the psum_scatter (reduce-scatter) of the exchange."""
+    mesh = mesh_lib.make_mesh(num_model=2)
+    trainer, gen = _exchange_trainer("DIN", mesh, str(tmp_path), True)
+    state = trainer.init_state(gen.batch(32, 0))
+    trainer._compile()
+    batch = trainer._put_batch(gen.batch(32, 0))
+    hlo = (
+        trainer._train_jit.lower(state, batch, jax.random.key(0))
+        .compile().as_text()
+    )
+    assert "all-gather" in hlo
+    assert "reduce-scatter" in hlo
+
+
+# ---------------------------------------------------------------------------
+# Expert parallelism + the "hard" models on the mesh (VERDICT round-1 item 3/8)
+# ---------------------------------------------------------------------------
+
+
+def _mesh_vs_single(model_name, tmp_path, optimizer_fn, num_model=2, steps=3,
+                    cfg_overrides=None, vocab_scale=0.01):
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+
+    gen = SyntheticWeChat(wechat_schema(),
+                          SyntheticConfig(seed=11, vocab_scale=vocab_scale))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg_cls, model_cls = MODEL_REGISTRY[model_name]
+    cfg = cfg_cls(batch_size=32, train_steps=steps, **(cfg_overrides or {}))
+    results = {}
+    for name, m in [("single", None),
+                    ("mesh", mesh_lib.make_mesh(num_model=num_model))]:
+        model = model_cls(config=cfg, schema=schema)
+        trainer = Trainer(
+            model, cfg.task_names, optimizer_fn(model_cls),
+            TrainerConfig(model_dir=str(tmp_path / name), train_steps=steps,
+                          save_checkpoints_steps=0),
+            mesh=m,
+        )
+        state = trainer.init_state(gen.batch(32, 0))
+        trainer._compile()
+        losses = []
+        rng = jax.random.key(0)
+        for i in range(steps):
+            batch = trainer._put_batch(gen.batch(32, i))
+            rng, sub = jax.random.split(rng)
+            state, loss = trainer._train_jit(state, batch, sub)
+            losses.append(float(loss))
+        results[name] = (losses, state)
+    np.testing.assert_allclose(
+        results["single"][0], results["mesh"][0], rtol=2e-3, atol=2e-3
+    )
+    return results
+
+
+def test_expert_parallelism_matches_single(tmp_path):
+    """MMOE with expert kernels sharded over the model axis: same losses as
+    single-device, and the (E, in, H) kernel really spans the model axis."""
+    results = _mesh_vs_single(
+        "MMOE", tmp_path, lambda _: optimizers.build("sgd", 1e-2),
+        cfg_overrides={"num_experts": 4, "expert_hidden_units": 32,
+                       "hidden_units": (16,), "dropout_rate": 0.0},
+    )
+    kernel = results["mesh"][1].params["experts"]["kernel"]
+    assert kernel.shape[0] == 4
+    spec = kernel.sharding.spec
+    assert spec[0] == "model", spec
+    # 2 model shards x 4 data replicas -> shards hold E/2 experts each
+    shard_E = {s.data.shape[0] for s in kernel.addressable_shards}
+    assert shard_E == {2}, shard_E
+
+
+def test_ple_on_mesh_matches_single(tmp_path):
+    _mesh_vs_single(
+        "PLE", tmp_path, lambda _: optimizers.build("sgd", 1e-2),
+        cfg_overrides={"num_experts_per_task": (2, 2, 2),
+                       "num_experts_in_shared": 4,
+                       "expert_hidden_units": 16, "hidden_units": (16,),
+                       "dropout_rate": 0.0},
+    )
+
+
+def test_wide_deep_dual_optimizer_on_mesh(tmp_path):
+    """FTRL(wide) + Adam(deep) multi_transform on sharded params
+    (the dual-optimizer path was never mesh-tested in round 1)."""
+    _mesh_vs_single(
+        "WideAndDeep", tmp_path,
+        lambda model_cls: optimizers.dual_wide_deep(
+            0.005, "adam", 0.001, model_cls.wide_param_predicate
+        ),
+        cfg_overrides={"hidden_units": (32,), "batch_norm": False,
+                       "cross_hash_buckets": 4096},
+    )
