@@ -442,6 +442,25 @@ class Trainer:
         return state, final_eval
 
 
+def _gather_to_host(tree):
+    """Full host-numpy copies of a (possibly sharded) param tree.
+
+    Single-process arrays are fully addressable — device_get suffices even
+    when sharded over a local mesh.  Across processes, each leaf is first
+    re-laid-out to a replicated sharding (XLA all-gather over ICI/DCN), which
+    every process must enter collectively.
+    """
+
+    def leaf_to_host(x):
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            return np.asarray(jax.device_get(x))
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    return jax.tree.map(leaf_to_host, tree)
+
+
 class _Checkpointer:
     """Orbax checkpoint manager + best-AUC serving exporter."""
 
@@ -493,18 +512,23 @@ class _Checkpointer:
         )
 
     def maybe_export_best(self, state: TrainState, auc: float):
-        """Keep the `keep_best` highest-AUC serving artifacts (BestExporter parity)."""
+        """Keep the `keep_best` highest-AUC serving artifacts (BestExporter parity).
+
+        Mesh/multi-host safe: params sharded across processes are gathered
+        to full host arrays on every process (the gather is a collective, so
+        all processes must enter), then only process 0 writes the artifact.
+        """
         step = int(state.step)
         if len(self.best) >= self.keep_best and auc <= min(a for a, _ in self.best):
+            return
+        tree = {"params": state.params, "batch_stats": state.batch_stats}
+        tree = _gather_to_host(tree)
+        if jax.process_index() != 0:
             return
         export_dir = os.path.join(self.model_dir, "export", f"best_{step}")
         os.makedirs(export_dir, exist_ok=True)
         with open(os.path.join(export_dir, "params.msgpack"), "wb") as f:
-            f.write(
-                flax.serialization.to_bytes(
-                    {"params": state.params, "batch_stats": state.batch_stats}
-                )
-            )
+            f.write(flax.serialization.to_bytes(tree))
         with open(os.path.join(export_dir, "metrics.json"), "w") as f:
             json.dump({"auc": auc, "step": step}, f)
         self.best.append((auc, step))
