@@ -58,6 +58,78 @@ def main():
         results[f"b{b}_examples_per_s"] = round(b / us * 1e6, 1)
 
     print(json.dumps({"metric": "din_serving_forward", **results}))
+    load_test(model, gen, results)
+
+
+def load_test(model, gen, results, n_clients: int = 32,
+              requests_per_client: int = 64):
+    """Concurrent single-request load through the dynamic-batching server.
+
+    Measures sustained requests/s and client-observed latency percentiles.
+    On a tunneled chip the per-request latency floor is the tunnel RTT;
+    throughput (batching efficiency) is the meaningful number.
+    """
+    import os
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import flax
+    import numpy as np
+
+    from recalgorithm_tpu.serving.predictor import Predictor
+    from recalgorithm_tpu.serving.server import BatchingPredictor
+
+    batch = gen.batch(max(n_clients * 2, 64), 0)
+    variables = model.init(
+        jax.random.key(0),
+        {k: jnp.asarray(v) for k, v in batch.items()}, train=False,
+    )
+    export_dir = "/tmp/bench_serving_export"
+    os.makedirs(export_dir, exist_ok=True)
+    with open(os.path.join(export_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}))
+    pred = Predictor(model, export_dir)
+    server = BatchingPredictor(pred, max_batch_size=256, max_delay_ms=2.0)
+    n_rows = len(next(iter(batch.values())))
+    examples = [{k: np.asarray(v)[i] for k, v in batch.items()}
+                for i in range(n_rows)]
+
+    lat: list[float] = []
+    lock = __import__("threading").Lock()
+
+    def client(cid):
+        times = []
+        for r in range(requests_per_client):
+            ex = examples[(cid * requests_per_client + r) % n_rows]
+            t0 = time.perf_counter()
+            server.predict_one(ex)
+            times.append(time.perf_counter() - t0)
+        with lock:
+            lat.extend(times)
+
+    # warm the bucket compiles
+    for ex in examples[:3]:
+        server.predict_one(ex)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n_clients) as pool:
+        list(pool.map(client, range(n_clients)))
+    wall = time.perf_counter() - t0
+    server.close()
+    total = n_clients * requests_per_client
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
+    out = {
+        "metric": "din_serving_concurrent_load",
+        "clients": n_clients,
+        "requests": total,
+        "requests_per_s": round(total / wall, 1),
+        "latency_ms_p50": round(float(lat_ms[len(lat_ms) // 2]), 2),
+        "latency_ms_p99": round(float(lat_ms[int(len(lat_ms) * 0.99)]), 2),
+        "batcher": {"max_batch_size": 256, "max_delay_ms": 2.0},
+    }
+    results.update(out)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

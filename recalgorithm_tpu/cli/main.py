@@ -78,6 +78,10 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
     parser.add_argument("--synthetic_vocab_scale", type=float, default=0.01)
     parser.add_argument("--limit_examples", type=int, default=None,
                         help="cap examples read from TFRecords (debug)")
+    parser.add_argument("--stream", action="store_true",
+                        help="bounded-memory streaming train input (chunked "
+                             "native reads + shuffle-buffer pool) instead of "
+                             "whole-split load; for splits larger than RAM")
     parser.add_argument("--eval_every_steps", type=int, default=0)
     parser.add_argument(
         "--eval_throttle_secs", type=float, default=600.0,
@@ -146,20 +150,30 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
 
         vocabs = VocabularyStore.from_dir(args.vocabulary_dir)
         schema = wechat_schema(vocabs.sizes())
-        train_arrays = pipeline.shard_for_host(
-            pipeline.load_dataset(
-                args.train_data, schema, vocabs, limit=args.limit_examples
+        if args.stream:
+            train_iter = pipeline.prefetch(
+                pipeline.stream_batches(
+                    args.train_data, schema, vocabs, cfg.batch_size,
+                    num_epochs=cfg.num_epochs,
+                    shuffle_buffer_size=max(cfg.shuffle_buffer_size, 1),
+                    seed=args.seed, max_steps=cfg.train_steps,
+                )
             )
-        )
+        else:
+            train_arrays = pipeline.shard_for_host(
+                pipeline.load_dataset(
+                    args.train_data, schema, vocabs, limit=args.limit_examples
+                )
+            )
+            train_iter = pipeline.prefetch(
+                pipeline.batches(
+                    train_arrays, cfg.batch_size, num_epochs=cfg.num_epochs,
+                    shuffle=cfg.shuffle_buffer_size > 0, seed=args.seed,
+                    drop_remainder=True, max_steps=cfg.train_steps,
+                )
+            )
         eval_arrays = pipeline.load_dataset(
             args.eval_data, schema, vocabs, limit=args.limit_examples
-        )
-        train_iter = pipeline.prefetch(
-            pipeline.batches(
-                train_arrays, cfg.batch_size, num_epochs=cfg.num_epochs,
-                shuffle=cfg.shuffle_buffer_size > 0, seed=args.seed,
-                drop_remainder=True, max_steps=cfg.train_steps,
-            )
         )
         eval_fn = lambda: pipeline.batches(
             eval_arrays, cfg.batch_size, num_epochs=1, shuffle=False

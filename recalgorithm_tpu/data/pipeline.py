@@ -69,6 +69,7 @@ def load_tfrecord_dataset(
     schema: Schema,
     vocabs: VocabularyStore,
     limit: int | None = None,
+    skip: int = 0,
 ) -> DatasetArrays:
     """Parse + translate a reference-format SequenceExample TFRecord file."""
     dense_rows, label_rows = [], []
@@ -84,7 +85,9 @@ def load_tfrecord_dataset(
         lookups[f.name] = vocabs[f.vocab]
 
     for n, payload in enumerate(tfrecord.read_records(path)):
-        if limit is not None and n >= limit:
+        if n < skip:
+            continue
+        if limit is not None and n - skip >= limit:
             break
         context, feature_lists = tfrecord.parse_sequence_example(payload)
         dense_rows.append(
@@ -155,16 +158,18 @@ def load_dataset(
     vocabs: VocabularyStore,
     limit: int | None = None,
     prefer_native: bool = True,
+    skip: int = 0,
 ) -> DatasetArrays:
     """Load via the C++ reader when buildable, else the Python parser."""
     if prefer_native:
         try:
             from recalgorithm_tpu.runtime import loader
 
-            return loader.read_dataset(path, schema, vocabs, limit=limit)
+            return loader.read_dataset(path, schema, vocabs, limit=limit,
+                                       skip=skip)
         except Exception:  # no compiler / build failure -> Python fallback
             pass
-    return load_tfrecord_dataset(path, schema, vocabs, limit=limit)
+    return load_tfrecord_dataset(path, schema, vocabs, limit=limit, skip=skip)
 
 
 def _gather_rows(data: DatasetArrays, order: np.ndarray) -> dict[str, np.ndarray]:
@@ -230,6 +235,83 @@ def batches(
             steps += 1
             if max_steps is not None and steps >= max_steps:
                 return
+
+
+def stream_batches(
+    path: str,
+    schema: Schema,
+    vocabs: VocabularyStore,
+    batch_size: int,
+    num_epochs: int = 1,
+    shuffle_buffer_size: int = 10000,
+    seed: int = 0,
+    chunk_records: int = 65536,
+    max_steps: int | None = None,
+    drop_remainder: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Bounded-memory streaming batch source (the scaling seam for splits
+    larger than host RAM).
+
+    Reads the TFRecord split in ``chunk_records`` chunks through the native
+    reader's skip/limit range (runtime/loader.read_dataset) and shuffles
+    through a ``shuffle_buffer_size`` row pool — the reference's
+    ``TFRecordDataset -> shuffle(10000) -> repeat -> batch`` semantics
+    (algorithm/utils.py:18-26) rather than whole-split epoch permutation.
+    Peak memory: one chunk + the pool, independent of split size.
+    """
+    rng = np.random.default_rng(seed)
+    steps = 0
+
+    def chunks():
+        skip = 0
+        while True:
+            data = load_dataset(path, schema, vocabs, limit=chunk_records,
+                                skip=skip)
+            if data.num_examples == 0:
+                return
+            yield data.as_flat()
+            if data.num_examples < chunk_records:
+                return
+            skip += chunk_records
+
+    pool: dict[str, np.ndarray] | None = None
+
+    def pool_rows() -> int:
+        return 0 if pool is None else len(next(iter(pool.values())))
+
+    def draw(n: int) -> dict[str, np.ndarray]:
+        nonlocal pool
+        idx = rng.choice(pool_rows(), size=n, replace=False)
+        batch = {k: v[idx] for k, v in pool.items()}
+        keep = np.ones(pool_rows(), bool)
+        keep[idx] = False
+        pool = {k: v[keep] for k, v in pool.items()}
+        return batch
+
+    for _ in range(num_epochs):
+        for flat in chunks():
+            pool = (flat if pool is None
+                    else {k: np.concatenate([pool[k], flat[k]]) for k in flat})
+            while pool_rows() >= shuffle_buffer_size + batch_size:
+                yield draw(batch_size)
+                steps += 1
+                if max_steps is not None and steps >= max_steps:
+                    return
+    # drain the pool
+    while pool is not None and pool_rows() >= batch_size:
+        yield draw(batch_size)
+        steps += 1
+        if max_steps is not None and steps >= max_steps:
+            return
+    tail = pool_rows()
+    if tail and not drop_remainder:
+        batch = draw(tail)
+        pad = batch_size - tail
+        out = {k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+               for k, v in batch.items()}
+        out["_weights"] = np.concatenate(
+            [np.ones(tail, np.float32), np.zeros(pad, np.float32)])
+        yield out
 
 
 def prefetch(it: Iterator, depth: int = 1) -> Iterator:

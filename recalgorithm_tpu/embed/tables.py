@@ -55,6 +55,15 @@ DENSE_LOOKUP_MAX_ROWS = 2048
 # mesh is visible while jit traces them.
 _LOOKUP_MESH = None
 
+# When True (via fast_embedding_scatter), big-table gathers use the Pallas
+# MXU scatter for their backward (ops/pallas/embed_scatter.py): the XLA
+# scatter of B*T duplicate rows is the single largest op in every sequence
+# model's step (~2.8 ms at batch 4096 — the round-1 "scatter floor"); the
+# sorted one-hot-matmul backward runs ~2.3x faster.  Single-chip TPU only —
+# the kernel is not partitioner-aware (mesh paths use sharded.py / the
+# partitioner) and needs Mosaic (not the CPU backend).
+_FAST_SCATTER = False
+
 
 @contextlib.contextmanager
 def shard_map_lookups(mesh):
@@ -66,6 +75,17 @@ def shard_map_lookups(mesh):
         yield
     finally:
         _LOOKUP_MESH = prev
+
+
+@contextlib.contextmanager
+def fast_embedding_scatter(enabled: bool = True):
+    """Enable the MXU embedding-gradient scatter while tracing."""
+    global _FAST_SCATTER
+    prev, _FAST_SCATTER = _FAST_SCATTER, enabled
+    try:
+        yield
+    finally:
+        _FAST_SCATTER = prev
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +181,18 @@ class EmbeddingCollection(nn.Module):
         emb = sharded_lookup(tab, flat_ids, mesh, axes, axes[0])
         return emb.reshape(*ids.shape, tab.shape[1])
 
+    def _gather(self, tab: jax.Array, ids: jax.Array) -> jax.Array:
+        """Plain gather with the fastest available backward (no masking)."""
+        emb = self._maybe_sharded_gather(tab, ids)
+        if emb is not None:
+            return emb
+        if _FAST_SCATTER:
+            from recalgorithm_tpu.ops.pallas import embed_scatter as fs
+
+            if fs.supports(tab.shape[0], tab.shape[1], ids.size):
+                return fs.take_fast_bwd(tab, ids)
+        return jnp.take(tab, ids, axis=0, mode="clip")
+
     def embed_scalar(self, table: str, ids: jax.Array) -> jax.Array:
         """(B,) int ids -> (B, dim); id 0 (PAD/OOV) -> zero vector.
 
@@ -172,17 +204,12 @@ class EmbeddingCollection(nn.Module):
         tab = self._params[table]
         if self._is_dense(table):
             return _masked_one_hot(ids, tab.shape[0], tab.dtype) @ tab
-        emb = self._maybe_sharded_gather(tab, ids)
-        if emb is None:
-            emb = jnp.take(tab, ids, axis=0, mode="clip")
+        emb = self._gather(tab, ids)
         return emb * (ids > 0)[:, None].astype(emb.dtype)
 
     def embed_sequence(self, table: str, ids: jax.Array) -> jax.Array:
         """(B, T) padded ids -> (B, T, dim) with zero rows at PAD positions."""
-        tab = self._params[table]
-        emb = self._maybe_sharded_gather(tab, ids)
-        if emb is None:
-            emb = jnp.take(tab, ids, axis=0, mode="clip")
+        emb = self._gather(self._params[table], ids)
         return emb * (ids > 0)[..., None].astype(emb.dtype)
 
     def embed_pooled(

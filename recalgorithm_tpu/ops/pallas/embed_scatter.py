@@ -199,7 +199,7 @@ def _take_fwd(table, ids):
 
 def _take_bwd(res, g):
     (num_rows, k), ids = res
-    flat_ids = ids.reshape(-1)
+    flat_ids = jnp.clip(ids.reshape(-1), 0, num_rows - 1)  # match fwd 'clip'
     order = jnp.argsort(flat_ids)
     ids_s = flat_ids[order]
     g_s = g.reshape(-1, k)[order]

@@ -265,9 +265,22 @@ void reader_add_sequence(Reader* r, const char* name, int32_t max_len,
 int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
                          float* dense_out, float* labels_out, int32_t* cat_out,
                          int32_t* seq_out, const int64_t* seq_offsets,
-                         int32_t* seq_len_out, int32_t verify_crc) {
+                         int32_t* seq_len_out, int32_t verify_crc,
+                         int64_t skip) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  // chunked/streaming reads: skip `skip` records by walking the framing
+  // (no parsing) so callers can load a split in bounded-memory chunks
+  for (int64_t s = 0; s < skip; ++s) {
+    uint8_t h[12];
+    if (fread(h, 1, 12, f) != 12) { fclose(f); return 0; }
+    uint64_t len;
+    std::memcpy(&len, h, 8);
+    if (fseek(f, static_cast<long>(len + 4), SEEK_CUR) != 0) {
+      fclose(f);
+      return 0;
+    }
+  }
   const size_t n_dense = r->dense_names.size();
   const size_t n_labels = r->label_names.size();
   const size_t n_cat = r->cat_names.size();

@@ -60,7 +60,7 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
         ]
         lib.permute_rows.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -92,8 +92,14 @@ def read_dataset(
     vocabs: VocabularyStore,
     limit: int | None = None,
     verify_crc: bool = False,
+    skip: int = 0,
 ) -> DatasetArrays:
-    """Native parse + translate of a SequenceExample TFRecord file."""
+    """Native parse + translate of a SequenceExample TFRecord file.
+
+    ``skip``/``limit`` select a record range, enabling bounded-memory
+    chunked loading (data/pipeline.stream_batches) — the scaling seam for
+    splits larger than host RAM.
+    """
     lib = _load()
     reader = lib.reader_create()
     try:
@@ -106,7 +112,7 @@ def read_dataset(
             lib.reader_add_categorical(reader, f.name.encode(), blob, len(blob))
         seq_offsets = []
         offset = 0
-        capacity = _count_records(path)
+        capacity = max(_count_records(path) - skip, 0)
         if limit is not None:
             capacity = min(capacity, limit)
         for f in schema.sequence:
@@ -137,6 +143,7 @@ def read_dataset(
             offsets_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             seq_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             1 if verify_crc else 0,
+            skip,
         )
         if rows < 0:
             raise IOError(f"native reader failed on {path}")

@@ -1,0 +1,119 @@
+"""Dynamic-batching serving loop: concurrent requests -> padded device batches.
+
+The reference delegates serving to TF-Serving, whose core runtime feature is
+request batching (SavedModel export + "for tf-serving deployment",
+reference README.md:8).  This is the TPU-native equivalent: a background
+worker drains a request queue, coalesces single examples into one padded
+batch (bucketed to a few fixed shapes so jit compiles a handful of graphs,
+never per-request), runs the jitted forward, and resolves per-request
+futures.
+
+Latency/throughput contract: a request waits at most ``max_delay_ms`` for
+co-batching; under load, batches fill to ``max_batch_size`` and the delay
+never engages.  Bucketing pads with zero rows masked out via ``_weights``
+(the framework's standard padded-tail convention), so results are identical
+to unbatched prediction.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Mapping
+
+import numpy as np
+
+
+_SENTINEL = object()
+
+
+class BatchingPredictor:
+    """Wraps a Predictor (or any ``predict_batch(dict)->dict``) with a
+    dynamic-batching worker thread."""
+
+    def __init__(
+        self,
+        predictor,
+        max_batch_size: int = 256,
+        max_delay_ms: float = 2.0,
+        buckets: tuple[int, ...] | None = None,
+    ):
+        self.predictor = predictor
+        self.max_batch_size = max_batch_size
+        self.max_delay_s = max_delay_ms / 1e3
+        self.buckets = tuple(
+            b for b in (buckets or (8, 32, 128, 256, 512, 1024))
+            if b <= max_batch_size
+        ) or (max_batch_size,)
+        self._q: queue.Queue = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client API ----------------------------------------------------------
+
+    def predict_async(self, features: Mapping[str, np.ndarray]) -> Future:
+        """Enqueue ONE example (unbatched feature dict); resolves to a dict
+        of per-task probabilities (scalars)."""
+        fut: Future = Future()
+        self._q.put((features, fut))
+        return fut
+
+    def predict_one(self, features: Mapping[str, np.ndarray]) -> dict:
+        return self.predict_async(features).result()
+
+    def close(self):
+        self._q.put(_SENTINEL)
+        self._worker.join(timeout=10)
+
+    # -- worker --------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _run(self):
+        import time
+
+        while True:
+            item = self._q.get()
+            if item is _SENTINEL:
+                return
+            pending = [item]
+            deadline = time.monotonic() + self.max_delay_s
+            while len(pending) < self.max_batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _SENTINEL:
+                    self._flush(pending)
+                    return
+                pending.append(nxt)
+            self._flush(pending)
+
+    def _flush(self, pending):
+        n = len(pending)
+        b = self._bucket(n)
+        feats = [f for f, _ in pending]
+        batch: dict[str, np.ndarray] = {}
+        for key in feats[0]:
+            rows = np.stack([np.asarray(f[key]) for f in feats])
+            if n < b:
+                pad = np.zeros((b - n,) + rows.shape[1:], rows.dtype)
+                rows = np.concatenate([rows, pad])
+            batch[key] = rows
+        batch["_weights"] = (np.arange(b) < n).astype(np.float32)
+        try:
+            probs = self.predictor.predict_batch(batch)
+        except Exception as exc:  # propagate to every waiting client
+            for _, fut in pending:
+                fut.set_exception(exc)
+            return
+        for i, (_, fut) in enumerate(pending):
+            fut.set_result({t: float(p[i]) for t, p in probs.items()})

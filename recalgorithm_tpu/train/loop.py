@@ -25,6 +25,7 @@ eval tails.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -89,6 +90,15 @@ class TrainerConfig:
     # instead of partitioner-derived collectives.  Requires a mesh;
     # numerically identical to the auto path (tests/test_sharding.py).
     shard_map_embeddings: bool = False
+    # Single-chip TPU: back big-table sequence gathers with the Pallas MXU
+    # scatter (ops/pallas/embed_scatter.py).  ISOLATED the kernel beats the
+    # XLA scatter floor 2.8ms -> 1.2ms (sort+reorder included: ~2.0ms), but
+    # wired into full model steps it REGRESSES (DIN 6.0 -> 10.9ms: the
+    # custom-vjp boundary forces cotangent materialisation with layout
+    # copies and breaks XLA's fusion plan around the gather).  Default OFF —
+    # measured negative result, kept as an opt-in + the kernel-level win is
+    # real for standalone scatter workloads.  Auto-disabled on CPU / mesh.
+    fast_embedding_scatter: bool = False
     # PRNG implementation for dropout keys. 'rbg' uses the TPU's hardware RNG
     # instructions — threefry mask generation costs ~1.3ms/step on a
     # 3-tower PLE at batch 4096, rbg makes it free. Both are deterministic
@@ -228,22 +238,41 @@ class Trainer:
         return self._update_metrics(eval_state, batch, logits, loss)
 
     def _lookup_ctx(self, fn):
-        """Make the shard_map-exchange mesh visible while jit traces `fn`."""
-        if not (self.config.shard_map_embeddings and self.mesh is not None):
-            return fn
+        """Set trace-time embedding-engine modes while jit traces `fn`:
+        the shard_map-exchange mesh, and the single-chip MXU scatter."""
         from recalgorithm_tpu.embed import tables as _tables
 
+        use_shard_map = self.config.shard_map_embeddings and self.mesh is not None
+        use_fast_scatter = (
+            self.config.fast_embedding_scatter
+            and self.mesh is None
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+        if not (use_shard_map or use_fast_scatter):
+            return fn
+
         def wrapped(*args):
-            with _tables.shard_map_lookups(self.mesh):
+            with contextlib.ExitStack() as stack:
+                if use_shard_map:
+                    stack.enter_context(_tables.shard_map_lookups(self.mesh))
+                if use_fast_scatter:
+                    stack.enter_context(_tables.fast_embedding_scatter(True))
                 return fn(*args)
 
         return wrapped
+
+    @property
+    def train_step_fn(self):
+        """The train step with trace-time engine modes applied (un-jitted) —
+        what _train_jit compiles; benchmark THIS, not _train_step, or the
+        shard_map / fast-scatter paths silently drop out of the measurement."""
+        return self._lookup_ctx(self._train_step)
 
     def _compile(self):
         if self._compiled is None:
             donate = (0,)
             self._train_jit = jax.jit(
-                self._lookup_ctx(self._train_step), donate_argnums=donate
+                self.train_step_fn, donate_argnums=donate
             )
             self._eval_jit = jax.jit(
                 self._lookup_ctx(self._eval_step), donate_argnums=(3,)

@@ -119,3 +119,38 @@ def test_shuffle_covers_all_rows(tmp_path):
         w = b.get("_weights", np.ones(4))
         seen.extend(b["userid"][w > 0].tolist())
     assert sorted(seen) == sorted(data.categorical["userid"].tolist())
+
+
+def test_stream_batches_covers_split(tmp_path):
+    """Bounded-memory streaming (chunked native reads + shuffle pool) yields
+    exactly the split's rows, once per epoch, in shuffled order."""
+    path, vocab_dir, _ = _write_tiny_dataset(tmp_path, n=23)
+    vocabs = VocabularyStore.from_dir(str(vocab_dir))
+    schema = wechat_schema(vocabs.sizes())
+    whole = pipeline.load_dataset(str(path), schema, vocabs)
+
+    got_users = []
+    for batch in pipeline.stream_batches(
+        str(path), schema, vocabs, batch_size=4, num_epochs=2,
+        shuffle_buffer_size=8, chunk_records=5, drop_remainder=False,
+    ):
+        w = batch.get("_weights")
+        users = batch["userid"] if w is None else batch["userid"][w > 0]
+        got_users.append(users)
+    got = np.sort(np.concatenate(got_users))
+    want = np.sort(np.concatenate([whole.categorical["userid"]] * 2))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_load_dataset_skip_range(tmp_path):
+    path, vocab_dir, _ = _write_tiny_dataset(tmp_path, n=9)
+    vocabs = VocabularyStore.from_dir(str(vocab_dir))
+    schema = wechat_schema(vocabs.sizes())
+    whole = pipeline.load_dataset(str(path), schema, vocabs)
+    for prefer_native in (True, False):
+        part = pipeline.load_dataset(str(path), schema, vocabs, limit=3,
+                                     skip=4, prefer_native=prefer_native)
+        assert part.num_examples == 3
+        np.testing.assert_array_equal(
+            part.categorical["feedid"], whole.categorical["feedid"][4:7])
+        np.testing.assert_allclose(part.dense, whole.dense[4:7])

@@ -57,6 +57,27 @@ for i in range(4):
     rng, sub = jax.random.split(rng)
     state, loss = trainer._train_jit(state, batch, sub)
 print("FINAL_LOSS", float(loss))
+
+# multi-host-safe best export: every process enters the collective gather,
+# process 0 writes the full (unsharded) artifact
+import shutil
+from recalgorithm_tpu.train.loop import _Checkpointer
+export_root = "/tmp/mh_export_test"
+if pid == 0 and os.path.isdir(export_root):
+    shutil.rmtree(export_root, ignore_errors=True)
+ck = _Checkpointer(export_root, keep_best=2)
+ck.maybe_export_best(state, auc=0.9)
+if pid == 0:
+    import flax
+    blob = open(os.path.join(export_root, "export",
+                             f"best_{int(state.step)}", "params.msgpack"), "rb").read()
+    tree = flax.serialization.msgpack_restore(blob)
+    import numpy as _np
+    leaves = jax.tree.leaves(tree["params"])
+    assert all(isinstance(_np.asarray(l), _np.ndarray) for l in leaves)
+    # full-shape check: the feedid table is whole, not a shard
+    emb = tree["params"]["FieldEmbedder_0"]["embed"]["feedid"]
+    print("EXPORT_ROWS", _np.asarray(emb).shape[0])
 """
 
 
@@ -87,7 +108,7 @@ def _single_process_loss() -> float:
     )
     assert out.returncode == 0, out.stderr[-2000:]
     # assertion on device count: 4*nproc == 8 holds for the 8-device run too
-    return float(out.stdout.strip().split("FINAL_LOSS")[-1])
+    return float(out.stdout.strip().split("FINAL_LOSS")[-1].split()[0])
 
 
 @pytest.mark.slow
@@ -108,8 +129,15 @@ def test_two_process_training_matches_single_process(tmp_path):
         stdout, stderr = p.communicate(timeout=600)
         assert p.returncode == 0, stderr[-2000:]
         outs.append(stdout)
-    losses = [float(o.strip().split("FINAL_LOSS")[-1]) for o in outs]
+    losses = [float(o.strip().split("FINAL_LOSS")[-1].split()[0]) for o in outs]
     # both processes hold the same global state
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # process 0 wrote a full (unsharded) serving artifact during the run
+    proc0 = outs[0]
+    assert "EXPORT_ROWS" in proc0, proc0[-500:]
+    rows = int(proc0.strip().split("EXPORT_ROWS")[-1].split()[0])
+    # exactly the whole ROW_ALIGN-padded feedid table (vocab_scale 0.003 ->
+    # 319 ids -> 512 padded rows): not a shard (64), not doubled (1024)
+    assert rows == 512, rows
     # and match a single-process 8-device run on the same stream
     np.testing.assert_allclose(losses[0], _single_process_loss(), rtol=1e-4)

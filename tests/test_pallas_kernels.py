@@ -217,3 +217,45 @@ def test_bst_block_fused_odd_batch():
         np.asarray(plain.apply(params, x, lengths)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# MXU embedding-gradient scatter
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dist,K", [("uniform", 16), ("zipf", 16),
+                                    ("padded", 8), ("skew_tail", 16)])
+def test_embed_scatter_matches_xla(dist, K):
+    from recalgorithm_tpu.ops.pallas.embed_scatter import scatter_add_rows
+
+    V, N = 8192, 16384
+    rng = np.random.default_rng(7)
+    if dist == "uniform":
+        ids = rng.integers(0, V - 5, N)
+    elif dist == "zipf":
+        ids = np.minimum(rng.zipf(1.3, N) - 1, V - 5)
+    elif dist == "padded":
+        ids = np.where(rng.random(N) < 0.5, 0, rng.integers(1, V - 5, N))
+    else:  # extreme skew: half the ids at two far ends (exercises the
+        # straddle window and the serial fallback)
+        ids = np.where(rng.random(N) < 0.5, rng.integers(0, 64, N),
+                       rng.integers(V - 64, V, N))
+    ids = np.sort(ids.astype(np.int32))
+    g = rng.normal(size=(N, K)).astype(np.float32)
+    got = np.asarray(scatter_add_rows(
+        jnp.asarray(ids), jnp.asarray(g), V, interpret=True))
+    want = np.zeros((V, K), np.float32)
+    np.add.at(want, ids, g)
+    scale = max(1.0, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5 * scale)
+
+
+def test_embed_scatter_supports_gating():
+    from recalgorithm_tpu.ops.pallas.embed_scatter import supports, MIN_IDS
+
+    assert supports(106496, 16, 204800)        # the feedid sequence case
+    assert supports(100096, 8, 98304)          # the W&D cross case
+    assert not supports(106496, 16, MIN_IDS - 1)   # small N: XLA is fine
+    assert not supports(106496, 40, 204800)    # FFM-width: VMEM too small
+    assert not supports(10**6, 16, 204800)     # table too big for VMEM

@@ -32,3 +32,42 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["read_comment"]), np.asarray(want), rtol=1e-5, atol=1e-6
     )
+
+
+def test_batching_predictor_concurrent(tmp_path):
+    """Dynamic-batching server: concurrent single-example requests return
+    the same probabilities as direct batch prediction."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from recalgorithm_tpu.serving.predictor import Predictor
+    from recalgorithm_tpu.serving.server import BatchingPredictor
+    import flax, json, os
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=4, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepFMConfig(hidden_units=(16,), batch_size=32)
+    model = DeepFM(config=cfg, schema=schema)
+    batch = {k: jax.numpy.asarray(v) for k, v in gen.batch(64, 0).items()}
+    variables = model.init(jax.random.key(0), batch, train=False)
+
+    export_dir = str(tmp_path / "export")
+    os.makedirs(export_dir)
+    with open(os.path.join(export_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}))
+    pred = Predictor(model, export_dir)
+
+    direct = pred.predict_batch({k: np.asarray(v) for k, v in batch.items()})
+    server = BatchingPredictor(pred, max_batch_size=32, max_delay_ms=5.0)
+    try:
+        examples = [
+            {k: np.asarray(v)[i] for k, v in batch.items()} for i in range(64)
+        ]
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            results = list(ex.map(server.predict_one, examples))
+    finally:
+        server.close()
+    got = np.asarray([r["read_comment"] for r in results])
+    np.testing.assert_allclose(got, np.asarray(direct["read_comment"]),
+                               rtol=1e-4, atol=1e-5)
