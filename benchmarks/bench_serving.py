@@ -109,9 +109,8 @@ def load_test(model, gen, results, n_clients: int = 32,
         with lock:
             lat.extend(times)
 
-    # warm the bucket compiles
-    for ex in examples[:3]:
-        server.predict_one(ex)
+    # compile every bucket shape before the clock starts
+    server.warmup(examples[0])
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=n_clients) as pool:
         list(pool.map(client, range(n_clients)))

@@ -62,6 +62,19 @@ class BatchingPredictor:
     def predict_one(self, features: Mapping[str, np.ndarray]) -> dict:
         return self.predict_async(features).result()
 
+    def warmup(self, example: Mapping[str, np.ndarray]) -> None:
+        """Compile every bucket shape up front (one forward per bucket) so
+        no client request ever pays a jit compile."""
+        for b in self.buckets:
+            batch = {
+                k: np.broadcast_to(
+                    np.asarray(v)[None], (b,) + np.asarray(v).shape
+                ).copy()
+                for k, v in example.items()
+            }
+            batch["_weights"] = np.ones(b, np.float32)
+            self.predictor.predict_batch(batch)
+
     def close(self):
         self._q.put(_SENTINEL)
         self._worker.join(timeout=10)
