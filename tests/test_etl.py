@@ -108,3 +108,44 @@ def test_etl_idempotent_vocab(raw_dataset):
     etl.run()  # sentinel short-circuits vocab regeneration
     after = (raw_dataset / "vocabulary" / "userid.txt").read_text()
     assert before == after
+
+
+def test_etl_to_cli_training(raw_dataset, tmp_path_factory):
+    """The full reference workflow: raw CSVs -> ETL -> TFRecords -> CLI
+    training (real-data mode) -> final eval + predictions.csv whose id
+    columns carry the ORIGINAL prefixed tokens (inverse-vocab round trip)."""
+    import csv
+
+    out = raw_dataset
+    WeChatETL(str(raw_dataset) + "/", str(out) + "/").run()
+    work = tmp_path_factory.mktemp("cli")
+    pred_csv = work / "predictions.csv"
+
+    from recalgorithm_tpu.cli.main import main as cli_main
+
+    final = cli_main([
+        "--model", "DeepCrossing",
+        "--train_data", str(out / "tfrecord" / "train.tfrecord"),
+        "--eval_data", str(out / "tfrecord" / "test.tfrecord"),
+        "--vocabulary_dir", str(out / "vocabulary"),
+        "--model_dir", str(work / "model"),
+        "--predictions_csv", str(pred_csv),
+        "--train_steps", "6", "--batch_size", "32",
+        "--residual_internal_dim", "16",
+        "--save_checkpoints_steps", "0", "--eval_throttle_secs", "0",
+    ])
+    assert "read_comment_auc" in final
+    assert "read_comment_exact_auc" in final
+
+    with open(pred_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert rows, "empty predictions.csv"
+    vocabs = VocabularyStore.from_dir(str(out / "vocabulary"))
+    known_users = set(vocabs["userid"].tokens()) | {""}
+    known_feeds = set(vocabs["feedid"].tokens()) | {""}
+    for r in rows:
+        # original prefixed string tokens, straight-joinable with test.csv
+        assert r["userid"] in known_users, r["userid"]
+        assert r["feedid"] in known_feeds, r["feedid"]
+        assert r["userid"] == "" or r["userid"].startswith("userid_")
+        assert 0.0 <= float(r["read_comment_probabilities"]) <= 1.0
