@@ -157,6 +157,9 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                     num_epochs=cfg.num_epochs,
                     shuffle_buffer_size=max(cfg.shuffle_buffer_size, 1),
                     seed=args.seed, max_steps=cfg.train_steps,
+                    limit=args.limit_examples,
+                    host_index=jax.process_index(),
+                    host_count=jax.process_count(),
                 )
             )
         else:
@@ -193,7 +196,9 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
     # ---- model + trainer
     model = model_cls(config=cfg, schema=schema)
     opt_name = getattr(cfg, "optimizer", "adam")
-    if pre_args.model == "WideAndDeep":
+    # dual FTRL/deep optimizer for any model exposing a wide-param split
+    # (class check, not name: WideAndDeepBuiltin aliases the same class)
+    if hasattr(model_cls, "wide_param_predicate"):
         optimizer = optimizers.dual_wide_deep(
             cfg.wide_part_learning_rate,
             cfg.deep_part_optimizer,

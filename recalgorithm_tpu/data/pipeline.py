@@ -159,14 +159,21 @@ def load_dataset(
     limit: int | None = None,
     prefer_native: bool = True,
     skip: int = 0,
+    start_offset: int = -1,
+    end_offset_box: list | None = None,
 ) -> DatasetArrays:
-    """Load via the C++ reader when buildable, else the Python parser."""
+    """Load via the C++ reader when buildable, else the Python parser.
+
+    ``start_offset``/``end_offset_box`` carry a byte position between
+    chunked reads (native reader only; the Python fallback leaves the box
+    empty and callers fall back to record-skip)."""
     if prefer_native:
         try:
             from recalgorithm_tpu.runtime import loader
 
             return loader.read_dataset(path, schema, vocabs, limit=limit,
-                                       skip=skip)
+                                       skip=skip, start_offset=start_offset,
+                                       end_offset_box=end_offset_box)
         except Exception:  # no compiler / build failure -> Python fallback
             pass
     return load_tfrecord_dataset(path, schema, vocabs, limit=limit, skip=skip)
@@ -248,6 +255,9 @@ def stream_batches(
     chunk_records: int = 65536,
     max_steps: int | None = None,
     drop_remainder: bool = True,
+    limit: int | None = None,
+    host_index: int = 0,
+    host_count: int = 1,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Bounded-memory streaming batch source (the scaling seam for splits
     larger than host RAM).
@@ -258,21 +268,45 @@ def stream_batches(
     ``TFRecordDataset -> shuffle(10000) -> repeat -> batch`` semantics
     (algorithm/utils.py:18-26) rather than whole-split epoch permutation.
     Peak memory: one chunk + the pool, independent of split size.
+
+    Multi-host: pass (host_index, host_count) so each host streams a
+    DISJOINT strided set of chunks (chunk c belongs to host c % host_count)
+    — without this every process would feed identical rows and the global
+    batch would duplicate each example host_count times.  ``limit`` caps
+    records read per epoch (per host, applied chunk-wise).
     """
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng((seed, host_index))
     steps = 0
 
     def chunks():
-        skip = 0
+        taken = 0
+        # with the native reader each read resumes from the carried byte
+        # offset and record-skips only the other hosts' interleaved chunks —
+        # total framing walk is one pass over the file per epoch, not
+        # O(chunks^2); the Python-fallback loader record-skips from the top
+        offset = -1  # byte offset carried between native reads
+        c = 0        # this host's chunk counter
         while True:
-            data = load_dataset(path, schema, vocabs, limit=chunk_records,
-                                skip=skip)
+            want = chunk_records
+            if limit is not None:
+                want = min(want, limit - taken)
+                if want <= 0:
+                    return
+            if offset > 0:
+                skip = (host_count - 1) * chunk_records
+            else:
+                skip = (c * host_count + host_index) * chunk_records
+            box: list = []
+            data = load_dataset(path, schema, vocabs, limit=want, skip=skip,
+                                start_offset=offset, end_offset_box=box)
             if data.num_examples == 0:
                 return
+            taken += data.num_examples
             yield data.as_flat()
-            if data.num_examples < chunk_records:
+            if data.num_examples < want:
                 return
-            skip += chunk_records
+            c += 1
+            offset = box[0] if box and box[0] > 0 else -1
 
     pool: dict[str, np.ndarray] | None = None
 

@@ -74,28 +74,37 @@ def is_expert_param_path(path) -> bool:
     return any(k.startswith("experts") for k in keys)
 
 
-def _spec_for(path, leaf):
+def _spec_for(path, leaf, num_model: int = 1):
     if is_embedding_table_path(path):
         return TABLE_SPEC
     if is_expert_param_path(path):
         # stacked expert kernels (E, in, H) / biases (E, H): true expert
-        # parallelism over the model axis (SURVEY.md §2.4 item 4)
-        if getattr(leaf, "ndim", 0) == 3:
-            return EXPERT_KERNEL_SPEC
-        if getattr(leaf, "ndim", 0) == 2:
-            return EXPERT_BIAS_SPEC
+        # parallelism over the model axis (SURVEY.md §2.4 item 4).  Only
+        # when E divides the model axis — device_put rejects uneven
+        # NamedShardings, and replication is what round-1 did anyway
+        # (MMOE's default num_experts=3 on model=2 must keep working).
+        shape = getattr(leaf, "shape", ())
+        divisible = bool(shape) and num_model > 0 and shape[0] % num_model == 0
+        if divisible:
+            if getattr(leaf, "ndim", 0) == 3:
+                return EXPERT_KERNEL_SPEC
+            if getattr(leaf, "ndim", 0) == 2:
+                return EXPERT_BIAS_SPEC
     return REPLICATED
 
 
-def param_specs(params) -> object:
+def param_specs(params, num_model: int = 1) -> object:
     """PartitionSpec tree: embedding tables row-sharded, expert groups
-    sharded over ``model``, the rest replicated."""
-    return jax.tree_util.tree_map_with_path(_spec_for, params)
+    sharded over ``model`` (when the expert count divides the axis), the
+    rest replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(path, leaf, num_model), params
+    )
 
 
 def param_shardings(params, mesh: Mesh):
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),
-        param_specs(params),
+        param_specs(params, num_model=mesh.shape.get(MODEL_AXIS, 1)),
         is_leaf=lambda x: isinstance(x, P),
     )

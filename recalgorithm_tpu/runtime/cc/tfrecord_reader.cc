@@ -266,11 +266,22 @@ int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
                          float* dense_out, float* labels_out, int32_t* cat_out,
                          int32_t* seq_out, const int64_t* seq_offsets,
                          int32_t* seq_len_out, int32_t verify_crc,
-                         int64_t skip) {
+                         int64_t skip, int64_t start_offset,
+                         int64_t* end_offset_out) {
+  if (end_offset_out) *end_offset_out = -1;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
-  // chunked/streaming reads: skip `skip` records by walking the framing
-  // (no parsing) so callers can load a split in bounded-memory chunks
+  // chunked/streaming reads: seek to a byte offset carried from the
+  // previous chunk (O(1)), then optionally skip `skip` further records by
+  // walking the framing (no parsing) — callers load a split in
+  // bounded-memory chunks without quadratic re-walks, and strided
+  // multi-host readers compose offset + skip for their inter-chunk gaps
+  if (start_offset > 0) {
+    if (fseek(f, static_cast<long>(start_offset), SEEK_SET) != 0) {
+      fclose(f);
+      return 0;
+    }
+  }
   for (int64_t s = 0; s < skip; ++s) {
     uint8_t h[12];
     if (fread(h, 1, 12, f) != 12) { fclose(f); return 0; }
@@ -384,6 +395,7 @@ int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
     });
     ++row;
   }
+  if (end_offset_out) *end_offset_out = ftell(f);
   fclose(f);
   return row;
 }

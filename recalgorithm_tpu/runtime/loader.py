@@ -60,7 +60,8 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.permute_rows.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -93,12 +94,17 @@ def read_dataset(
     limit: int | None = None,
     verify_crc: bool = False,
     skip: int = 0,
+    start_offset: int = -1,
+    end_offset_box: list | None = None,
 ) -> DatasetArrays:
     """Native parse + translate of a SequenceExample TFRecord file.
 
     ``skip``/``limit`` select a record range, enabling bounded-memory
     chunked loading (data/pipeline.stream_batches) — the scaling seam for
-    splits larger than host RAM.
+    splits larger than host RAM.  ``start_offset`` (a byte position carried
+    from a previous read's ``end_offset_box``) replaces the record-skip walk
+    with one seek, keeping chunked streaming O(records) overall; when
+    ``limit`` is given the whole-file record count is skipped too.
     """
     lib = _load()
     reader = lib.reader_create()
@@ -112,9 +118,14 @@ def read_dataset(
             lib.reader_add_categorical(reader, f.name.encode(), blob, len(blob))
         seq_offsets = []
         offset = 0
-        capacity = max(_count_records(path) - skip, 0)
-        if limit is not None:
-            capacity = min(capacity, limit)
+        if limit is not None and start_offset > 0:
+            # mid-stream chunk: allocate the (bounded) chunk size without a
+            # full-file framing walk — rows are sliced to the actual count
+            capacity = limit
+        else:
+            capacity = max(_count_records(path) - skip, 0)
+            if limit is not None:
+                capacity = min(capacity, limit)
         for f in schema.sequence:
             blob = "\n".join(vocabs[f.vocab].tokens()).encode()
             lib.reader_add_sequence(
@@ -133,6 +144,7 @@ def read_dataset(
         seqs = np.zeros((offset,), np.int32)
         seq_lens = np.zeros((capacity, n_seq), np.int32)
         offsets_arr = np.asarray(seq_offsets, np.int64)
+        end_off = ctypes.c_int64(-1)
 
         rows = lib.reader_read_file(
             reader, path.encode(), capacity,
@@ -143,11 +155,13 @@ def read_dataset(
             offsets_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             seq_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             1 if verify_crc else 0,
-            skip,
+            skip, start_offset, ctypes.byref(end_off),
         )
         if rows < 0:
             raise IOError(f"native reader failed on {path}")
         rows = int(rows)
+        if end_offset_box is not None:
+            end_offset_box.append(int(end_off.value))
 
         sequences = {}
         for i, f in enumerate(schema.sequence):

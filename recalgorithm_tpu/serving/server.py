@@ -42,10 +42,14 @@ class BatchingPredictor:
         self.predictor = predictor
         self.max_batch_size = max_batch_size
         self.max_delay_s = max_delay_ms / 1e3
-        self.buckets = tuple(
-            b for b in (buckets or (8, 32, 128, 256, 512, 1024))
-            if b <= max_batch_size
-        ) or (max_batch_size,)
+        # always include max_batch_size itself: a full queue drains
+        # max_batch_size requests at once and _bucket must have a shape
+        # >= any pending count (a bucket smaller than the row count would
+        # truncate _weights and recompile on the hot path)
+        self.buckets = tuple(sorted(
+            {b for b in (buckets or (8, 32, 128, 256, 512, 1024))
+             if b <= max_batch_size} | {max_batch_size}
+        ))
         self._q: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -111,22 +115,28 @@ class BatchingPredictor:
             self._flush(pending)
 
     def _flush(self, pending):
-        n = len(pending)
-        b = self._bucket(n)
-        feats = [f for f, _ in pending]
-        batch: dict[str, np.ndarray] = {}
-        for key in feats[0]:
-            rows = np.stack([np.asarray(f[key]) for f in feats])
-            if n < b:
-                pad = np.zeros((b - n,) + rows.shape[1:], rows.dtype)
-                rows = np.concatenate([rows, pad])
-            batch[key] = rows
-        batch["_weights"] = (np.arange(b) < n).astype(np.float32)
+        # the ENTIRE flush runs under the except-to-futures net: a single
+        # malformed request (missing key, ragged shape) must fail its batch's
+        # futures, not kill the worker thread and hang every later request
         try:
+            n = len(pending)
+            b = self._bucket(n)
+            feats = [f for f, _ in pending]
+            batch: dict[str, np.ndarray] = {}
+            for key in feats[0]:
+                rows = np.stack([np.asarray(f[key]) for f in feats])
+                if n < b:
+                    pad = np.zeros((b - n,) + rows.shape[1:], rows.dtype)
+                    rows = np.concatenate([rows, pad])
+                batch[key] = rows
+            batch["_weights"] = (np.arange(b) < n).astype(np.float32)
             probs = self.predictor.predict_batch(batch)
+            results = [
+                {t: float(p[i]) for t, p in probs.items()} for i in range(n)
+            ]
         except Exception as exc:  # propagate to every waiting client
             for _, fut in pending:
                 fut.set_exception(exc)
             return
-        for i, (_, fut) in enumerate(pending):
-            fut.set_result({t: float(p[i]) for t, p in probs.items()})
+        for res, (_, fut) in zip(results, pending):
+            fut.set_result(res)

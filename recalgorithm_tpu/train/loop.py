@@ -546,12 +546,21 @@ class _Checkpointer:
         Mesh/multi-host safe: params sharded across processes are gathered
         to full host arrays on every process (the gather is a collective, so
         all processes must enter), then only process 0 writes the artifact.
+        The ``self.best`` bookkeeping runs IDENTICALLY on every process (auc
+        and step are globally consistent inputs) so the early-return decision
+        never diverges — a process skipping the collective while others enter
+        it would deadlock the job.
         """
         step = int(state.step)
         if len(self.best) >= self.keep_best and auc <= min(a for a, _ in self.best):
             return
         tree = {"params": state.params, "batch_stats": state.batch_stats}
         tree = _gather_to_host(tree)
+        # identical bookkeeping on every process (fs writes are p0-only)
+        self.best.append((auc, step))
+        self.best.sort(reverse=True)
+        evicted = self.best[self.keep_best:]
+        self.best = self.best[: self.keep_best]
         if jax.process_index() != 0:
             return
         export_dir = os.path.join(self.model_dir, "export", f"best_{step}")
@@ -560,15 +569,12 @@ class _Checkpointer:
             f.write(flax.serialization.to_bytes(tree))
         with open(os.path.join(export_dir, "metrics.json"), "w") as f:
             json.dump({"auc": auc, "step": step}, f)
-        self.best.append((auc, step))
-        self.best.sort(reverse=True)
-        for auc_old, step_old in self.best[self.keep_best:]:
+        for auc_old, step_old in evicted:
             stale = os.path.join(self.model_dir, "export", f"best_{step_old}")
             if os.path.isdir(stale):
                 import shutil
 
                 shutil.rmtree(stale, ignore_errors=True)
-        self.best = self.best[: self.keep_best]
         with open(self.best_path, "w") as f:
             json.dump(self.best, f)
 

@@ -154,3 +154,34 @@ def test_load_dataset_skip_range(tmp_path):
         np.testing.assert_array_equal(
             part.categorical["feedid"], whole.categorical["feedid"][4:7])
         np.testing.assert_allclose(part.dense, whole.dense[4:7])
+
+
+def test_stream_batches_multihost_disjoint(tmp_path):
+    """Strided per-host chunking: two hosts streaming the same split see
+    disjoint rows whose union is the whole split (the non-strided version
+    duplicated every example host_count times in the global batch)."""
+    path, vocab_dir, _ = _write_tiny_dataset(tmp_path, n=24)
+    vocabs = VocabularyStore.from_dir(str(vocab_dir))
+    schema = wechat_schema(vocabs.sizes())
+    whole = pipeline.load_dataset(str(path), schema, vocabs)
+
+    def host_rows(h):
+        dense = []
+        for b in pipeline.stream_batches(
+            str(path), schema, vocabs, batch_size=2, shuffle_buffer_size=2,
+            chunk_records=4, drop_remainder=False,
+            host_index=h, host_count=2,
+        ):
+            w = b.get("_weights")
+            d = b["dense"] if w is None else b["dense"][w > 0]
+            dense.append(d)
+        return np.concatenate(dense)
+
+    h0, h1 = host_rows(0), host_rows(1)
+    assert len(h0) + len(h1) == 24
+    got = np.sort(np.concatenate([h0, h1]).ravel())
+    np.testing.assert_allclose(got, np.sort(whole.dense.ravel()), rtol=1e-6)
+    # disjoint: no row of h0 appears in h1
+    set0 = {tuple(np.round(r, 6)) for r in h0}
+    set1 = {tuple(np.round(r, 6)) for r in h1}
+    assert not (set0 & set1)

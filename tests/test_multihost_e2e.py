@@ -65,8 +65,15 @@ from recalgorithm_tpu.train.loop import _Checkpointer
 export_root = "/tmp/mh_export_test"
 if pid == 0 and os.path.isdir(export_root):
     shutil.rmtree(export_root, ignore_errors=True)
-ck = _Checkpointer(export_root, keep_best=2)
+ck = _Checkpointer(export_root, keep_best=1)
 ck.maybe_export_best(state, auc=0.9)
+# repeated exports with a FULL best list: the early-return decision must be
+# identical on every process (a divergent skip of the collective gather
+# deadlocks the job — regression for the round-2 bookkeeping fix)
+state = state.replace(step=state.step + 1)
+ck.maybe_export_best(state, auc=0.5)   # worse: all processes skip
+state = state.replace(step=state.step + 1)
+ck.maybe_export_best(state, auc=0.95)  # better: all processes gather + evict
 if pid == 0:
     import flax
     blob = open(os.path.join(export_root, "export",

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
 from recalgorithm_tpu.features.schema import wechat_schema
@@ -71,3 +72,38 @@ def test_batching_predictor_concurrent(tmp_path):
     got = np.asarray([r["read_comment"] for r in results])
     np.testing.assert_allclose(got, np.asarray(direct["read_comment"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_batching_predictor_survives_malformed_request(tmp_path):
+    """A bad request fails ITS future with the error; the worker thread
+    survives and keeps serving later requests."""
+    from recalgorithm_tpu.serving.predictor import Predictor
+    from recalgorithm_tpu.serving.server import BatchingPredictor
+    import flax, os
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=6, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepFMConfig(hidden_units=(16,), batch_size=32)
+    model = DeepFM(config=cfg, schema=schema)
+    batch = {k: jax.numpy.asarray(v) for k, v in gen.batch(8, 0).items()}
+    variables = model.init(jax.random.key(0), batch, train=False)
+    export_dir = str(tmp_path / "export")
+    os.makedirs(export_dir)
+    with open(os.path.join(export_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}))
+    server = BatchingPredictor(Predictor(model, export_dir),
+                               max_batch_size=300, max_delay_ms=1.0)
+    try:
+        assert server.buckets[-1] == 300  # max_batch_size always a bucket
+        good = {k: np.asarray(v)[0] for k, v in batch.items()}
+        bad = {"userid": np.int32(1)}  # missing every other feature
+        fut = server.predict_async(bad)
+        with pytest.raises(Exception):
+            fut.result(timeout=30)
+        # the worker is still alive and serves the next request
+        out = server.predict_one(good)
+        assert 0.0 <= out["read_comment"] <= 1.0
+    finally:
+        server.close()

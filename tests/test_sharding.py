@@ -240,3 +240,30 @@ def test_wide_deep_dual_optimizer_on_mesh(tmp_path):
         cfg_overrides={"hidden_units": (32,), "batch_norm": False,
                        "cross_hash_buckets": 4096},
     )
+
+
+def test_non_divisible_experts_fall_back_to_replicated(tmp_path):
+    """MMOE's default num_experts=3 on a model=2 mesh must keep working:
+    device_put rejects uneven NamedShardings, so the expert rule falls back
+    to replication when E doesn't divide the axis."""
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=2, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg_cls, model_cls = MODEL_REGISTRY["MMOE"]
+    cfg = cfg_cls(batch_size=32, num_experts=3, expert_hidden_units=16,
+                  hidden_units=(16,))
+    model = model_cls(config=cfg, schema=schema)
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("sgd", 1e-2),
+        TrainerConfig(model_dir=str(tmp_path), train_steps=1,
+                      save_checkpoints_steps=0),
+        mesh=mesh_lib.make_mesh(num_model=2),
+    )
+    state = trainer.init_state(gen.batch(32, 0))  # crashed before the fix
+    kernel = state.params["experts"]["kernel"]
+    assert kernel.sharding.is_fully_replicated  # fallback, not sharded
+    trainer._compile()
+    _, loss = trainer._train_jit(state, trainer._put_batch(gen.batch(32, 0)),
+                                 jax.random.key(0))
+    assert np.isfinite(float(loss))
