@@ -70,7 +70,8 @@ def run_bench(batch_size: int = 4096) -> dict:
     device_batch = trainer._put_batch(batch)
     k_big = 72 if on_tpu else 24  # CPU fallback keeps the bench under a minute
     step_us = loop_step_time_us(
-        trainer.train_step_fn, state, device_batch, k_small=8, k_big=k_big
+        trainer.train_step_fn, state, device_batch, k_small=8, k_big=k_big,
+        compiler_options=trainer.compiler_options
     )
     per_chip = batch_size / step_us * 1e6 / n_chips
     return {

@@ -62,7 +62,8 @@ def main():
         state = trainer.init_state(gen.batch(B, 0))
         batch = trainer._put_batch(gen.batch(B, 0))
         step = step_override(trainer) if step_override else trainer.train_step_fn
-        us = loop_step_time_us(step, state, batch)
+        us = loop_step_time_us(step, state, batch,
+                               compiler_options=trainer.compiler_options)
         results[tag] = round(us, 1)
         print(f"{tag}: {us:,.0f} us", flush=True)
         return us

@@ -55,7 +55,8 @@ def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
     loss_finite = bool(jax.numpy.isfinite(float(loss)))
     compile_s = time.perf_counter() - t0
 
-    step_us = loop_step_time_us(trainer.train_step_fn, state, batch)
+    step_us = loop_step_time_us(trainer.train_step_fn, state, batch,
+                                compiler_options=trainer.compiler_options)
     return {
         "model": name,
         "examples_per_s": round(batch_size / step_us * 1e6, 1),

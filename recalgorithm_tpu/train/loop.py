@@ -99,6 +99,14 @@ class TrainerConfig:
     # measured negative result, kept as an opt-in + the kernel-level win is
     # real for standalone scatter workloads.  Auto-disabled on CPU / mesh.
     fast_embedding_scatter: bool = False
+    # XLA scoped-VMEM budget for the compiled steps.  The default 16 MB
+    # forces the embedding-grad scatter to stream the (106k, 16) table
+    # through VMEM in column halves; at 64 MB the whole table stays
+    # resident and the scatter — the largest op in every sequence model —
+    # runs 36% faster (measured 3.27 -> 2.09 ms isolated, DIN step -11%).
+    # Applied per-compile via jit(compiler_options=...) (the terminal owns
+    # the global XLA_FLAGS); None/CPU -> compiler default.
+    scoped_vmem_limit_kib: int | None = 65536
     # PRNG implementation for dropout keys. 'rbg' uses the TPU's hardware RNG
     # instructions — threefry mask generation costs ~1.3ms/step on a
     # 3-tower PLE at batch 4096, rbg makes it free. Both are deterministic
@@ -265,17 +273,28 @@ class Trainer:
     def train_step_fn(self):
         """The train step with trace-time engine modes applied (un-jitted) —
         what _train_jit compiles; benchmark THIS, not _train_step, or the
-        shard_map / fast-scatter paths silently drop out of the measurement."""
+        shard_map / fast-scatter paths silently drop out of the measurement
+        (and pass ``compiler_options`` to the benchmark jit)."""
         return self._lookup_ctx(self._train_step)
+
+    @property
+    def compiler_options(self) -> dict | None:
+        kib = self.config.scoped_vmem_limit_kib
+        if kib and jax.devices()[0].platform not in ("cpu",):
+            return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
+        return None
 
     def _compile(self):
         if self._compiled is None:
             donate = (0,)
+            opts = self.compiler_options
             self._train_jit = jax.jit(
-                self.train_step_fn, donate_argnums=donate
+                self.train_step_fn, donate_argnums=donate,
+                compiler_options=opts,
             )
             self._eval_jit = jax.jit(
-                self._lookup_ctx(self._eval_step), donate_argnums=(3,)
+                self._lookup_ctx(self._eval_step), donate_argnums=(3,),
+                compiler_options=opts,
             )
             self._predict_jit = jax.jit(
                 self._lookup_ctx(
@@ -288,7 +307,8 @@ class Trainer:
                             mutable=["losses"],
                         )[0],
                     )
-                )
+                ),
+                compiler_options=opts,
             )
             self._compiled = True
 

@@ -11,6 +11,7 @@ device time.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable
 
@@ -28,6 +29,7 @@ def loop_step_time_us(
     repeats: int = 3,
     seed: int = 0,
     rng_impl: str = "rbg",  # match Trainer's default dropout PRNG
+    compiler_options: dict | None = None,  # match Trainer.compiler_options
 ) -> float:
     """Median per-step time (us) of `step_fn`, measured as a K-step slope.
 
@@ -39,7 +41,7 @@ def loop_step_time_us(
     """
 
     def make(k: int):
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=compiler_options)
         def run(state, batch, key):
             def body(i, carry):
                 st, _ = carry
