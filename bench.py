@@ -62,7 +62,8 @@ def run_bench(batch_size: int = 4096) -> dict:
         cfg.task_names,
         optimizers.build("adam", 1e-3),
         TrainerConfig(model_dir="/tmp/recalgorithm_bench", train_steps=30,
-                      save_checkpoints_steps=0),
+                      save_checkpoints_steps=0,
+                      scoped_vmem_limit_kib=cfg.scoped_vmem_limit_kib),
         mesh=None,
     )
     batch = gen.batch(batch_size, 0)

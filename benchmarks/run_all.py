@@ -42,7 +42,9 @@ def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
     trainer = Trainer(
         model, cfg.task_names, opt,
         TrainerConfig(model_dir=f"/tmp/bench_{name}", train_steps=steps,
-                      save_checkpoints_steps=0),
+                      save_checkpoints_steps=0,
+                      scoped_vmem_limit_kib=getattr(
+                          cfg, "scoped_vmem_limit_kib", 65536)),
     )
     from recalgorithm_tpu.utils.benchmarking import loop_step_time_us
 

@@ -225,6 +225,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             save_checkpoints_steps=cfg.save_checkpoints_steps,
             seed=args.seed,
             shard_map_embeddings=args.shard_map_embeddings,
+            scoped_vmem_limit_kib=cfg.scoped_vmem_limit_kib,
         ),
         mesh=mesh,
     )

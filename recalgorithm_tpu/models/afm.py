@@ -27,6 +27,9 @@ AFM_VOCABS = tuple(common.SCALAR_CAT_FIELDS) + ("manual_tag_id",)
 
 @dataclasses.dataclass(frozen=True)
 class AFMConfig(common.TrainFlags):
+    # measured: the 64MB scoped-VMEM budget hurts this pure-FM
+    # model's fusion choices (no sequence scatter to win back)
+    scoped_vmem_limit_kib: int = 0
     embedding_dim: int = 8
     attention_factor: int = 128
     task_names: tuple[str, ...] = ("read_comment",)

@@ -75,6 +75,13 @@ class TrainFlags:
     # 'f32' or 'bf16': compute dtype of the dense-tower/expert matmuls (MXU
     # mixed precision; params, BN stats, interaction ops and losses stay f32).
     precision: str = "f32"
+    # XLA scoped-VMEM budget (KiB) for the compiled steps; 0 = compiler
+    # default (16 MB).  64 MB keeps the whole feedid table VMEM-resident
+    # through the embedding-grad scatter: +7..30% on every sequence-table
+    # model (DIN/BST/DCN/MMOE/PLE/W&D/...).  The pure-FM models override
+    # this to 0 — the larger budget changes their fusion choices for the
+    # worse (measured -11..-37%: AFM/DeepFM/FFM/FwFM/NFM).
+    scoped_vmem_limit_kib: int = 65536
 
     @property
     def compute_dtype(self):

@@ -26,6 +26,9 @@ SCALAR_FIELDS = [(n, n, "scalar") for n in common.SCALAR_CAT_FIELDS]
 
 @dataclasses.dataclass(frozen=True)
 class DeepFMConfig(common.TrainFlags):
+    # measured: the 64MB scoped-VMEM budget hurts this pure-FM
+    # model's fusion choices (no sequence scatter to win back)
+    scoped_vmem_limit_kib: int = 0
     embedding_dim: int = 8
     hidden_units: tuple[int, ...] = (512, 256, 128)
     batch_norm: bool = True
