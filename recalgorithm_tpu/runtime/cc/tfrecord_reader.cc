@@ -267,7 +267,7 @@ int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
                          int32_t* seq_out, const int64_t* seq_offsets,
                          int32_t* seq_len_out, int32_t verify_crc,
                          int64_t skip, int64_t start_offset,
-                         int64_t* end_offset_out) {
+                         int64_t* end_offset_out, int32_t n_threads) {
   if (end_offset_out) *end_offset_out = -1;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
@@ -297,26 +297,11 @@ int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
   const size_t n_cat = r->cat_names.size();
   const size_t n_seq = r->seq_names.size();
 
-  std::vector<uint8_t> buf;
-  int64_t row = 0;
-  uint8_t header[12];
-  while (row < capacity && fread(header, 1, 12, f) == 12) {
-    uint64_t len;
-    std::memcpy(&len, header, 8);
-    if (verify_crc) {
-      uint32_t want;
-      std::memcpy(&want, header + 8, 4);
-      if (masked_crc(header, 8) != want) break;
-    }
-    buf.resize(len + 4);
-    if (fread(buf.data(), 1, len + 4, f) != len + 4) break;
-    if (verify_crc) {
-      uint32_t want;
-      std::memcpy(&want, buf.data() + len, 4);
-      if (masked_crc(buf.data(), len) != want) break;
-    }
-
-    // zero-init this row
+  // Two-phase, wave-buffered: the serial I/O phase reads up to WAVE record
+  // payloads into one buffer (bounding memory for whole-file loads), then
+  // the parse/translate phase fans the independent records across threads —
+  // vocab maps are read-only and every record writes disjoint row slots.
+  auto parse_record = [&](const uint8_t* data, size_t len, int64_t row) {
     std::memset(dense_out + row * n_dense, 0, n_dense * 4);
     std::memset(labels_out + row * n_labels, 0, n_labels * 4);
     for (size_t c = 0; c < n_cat; ++c) cat_out[row * n_cat + c] = 0;
@@ -325,8 +310,7 @@ int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
       std::memset(seq_out + seq_offsets[s] + row * t, 0, t * 4);
       seq_len_out[row * n_seq + s] = 0;
     }
-
-    Slice msg{buf.data(), static_cast<size_t>(len)};
+    Slice msg{data, len};
     iter_fields(msg, [&](uint32_t field, uint32_t, Slice val, uint64_t) {
       if (field == 1) {  // context Features
         iter_fields(val, [&](uint32_t f2, uint32_t, Slice entry, uint64_t) {
@@ -393,7 +377,70 @@ int64_t reader_read_file(Reader* r, const char* path, int64_t capacity,
         });
       }
     });
-    ++row;
+  };
+
+  const int64_t WAVE = 65536;
+  std::vector<uint8_t> payload;
+  std::vector<size_t> offs;
+  std::vector<size_t> lens;
+  int64_t row = 0;
+  bool eof = false;
+  uint8_t header[12];
+  while (!eof && row < capacity) {
+    payload.clear();
+    offs.clear();
+    lens.clear();
+    while (static_cast<int64_t>(offs.size()) < WAVE &&
+           row + static_cast<int64_t>(offs.size()) < capacity) {
+      if (fread(header, 1, 12, f) != 12) { eof = true; break; }
+      uint64_t len;
+      std::memcpy(&len, header, 8);
+      if (verify_crc) {
+        uint32_t want;
+        std::memcpy(&want, header + 8, 4);
+        if (masked_crc(header, 8) != want) { eof = true; break; }
+      }
+      size_t off = payload.size();
+      payload.resize(off + len + 4);
+      if (fread(payload.data() + off, 1, len + 4, f) != len + 4) {
+        eof = true;
+        break;
+      }
+      if (verify_crc) {
+        uint32_t want;
+        std::memcpy(&want, payload.data() + off + len, 4);
+        if (masked_crc(payload.data() + off, len) != want) {
+          eof = true;
+          break;
+        }
+      }
+      offs.push_back(off);
+      lens.push_back(len);
+    }
+    const int64_t wave_rows = static_cast<int64_t>(offs.size());
+    if (wave_rows == 0) break;
+    auto work = [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i)
+        parse_record(payload.data() + offs[i], lens[i], row + i);
+    };
+    int64_t nt = n_threads > 0
+                     ? n_threads
+                     : static_cast<int64_t>(std::thread::hardware_concurrency());
+    nt = std::max<int64_t>(1, std::min({nt, wave_rows, int64_t{16}}));
+    if (nt == 1) {
+      work(0, wave_rows);
+    } else {
+      std::vector<std::thread> threads;
+      int64_t chunk = (wave_rows + nt - 1) / nt;
+      for (int64_t t = 0; t < nt; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = std::min(wave_rows, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+      }
+      for (auto& th : threads) th.join();
+    }
+    row += wave_rows;
   }
   if (end_offset_out) *end_offset_out = ftell(f);
   fclose(f);

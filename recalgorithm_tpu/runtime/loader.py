@@ -61,7 +61,7 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
         ]
         lib.permute_rows.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -96,6 +96,7 @@ def read_dataset(
     skip: int = 0,
     start_offset: int = -1,
     end_offset_box: list | None = None,
+    n_threads: int = 0,
 ) -> DatasetArrays:
     """Native parse + translate of a SequenceExample TFRecord file.
 
@@ -156,6 +157,7 @@ def read_dataset(
             seq_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             1 if verify_crc else 0,
             skip, start_offset, ctypes.byref(end_off),
+            n_threads,  # 0 = auto (hardware concurrency, capped 16)
         )
         if rows < 0:
             raise IOError(f"native reader failed on {path}")

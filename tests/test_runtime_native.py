@@ -43,3 +43,25 @@ def test_permute_rows_rejects_partial_order():
     arr = np.arange(20, dtype=np.float32).reshape(10, 2)
     with pytest.raises(ValueError, match="full permutation"):
         permute_rows(arr, np.arange(5, dtype=np.int64))
+
+
+def test_native_threaded_parse_matches_serial(tmp_path):
+    """The wave-parallel parse (records fanned over threads into disjoint
+    row slots) produces byte-identical output to the serial parse."""
+    from recalgorithm_tpu.runtime import loader
+
+    path, vocab_dir, _ = _write_tiny_dataset(tmp_path, n=23)
+    vocabs = VocabularyStore.from_dir(str(vocab_dir))
+    schema = wechat_schema(vocabs.sizes())
+    serial = loader.read_dataset(str(path), schema, vocabs, n_threads=1)
+    threaded = loader.read_dataset(str(path), schema, vocabs, n_threads=4)
+    np.testing.assert_array_equal(serial.dense, threaded.dense)
+    np.testing.assert_array_equal(serial.labels, threaded.labels)
+    for k in serial.categorical:
+        np.testing.assert_array_equal(serial.categorical[k],
+                                      threaded.categorical[k])
+    for k in serial.sequences:
+        np.testing.assert_array_equal(serial.sequences[k][0],
+                                      threaded.sequences[k][0])
+        np.testing.assert_array_equal(serial.sequences[k][1],
+                                      threaded.sequences[k][1])
