@@ -79,7 +79,7 @@ def ftrl(
 
 
 class LazyAdamState(NamedTuple):
-    count: Any  # per-leaf per-coordinate step counts
+    count: Any  # scalar global step (TF LazyAdam bias-correction semantics)
     mu: Any
     nu: Any
 
@@ -92,24 +92,23 @@ def lazy_adam(
 ) -> optax.GradientTransformation:
     """LazyAdam: update moments/params only where the gradient is nonzero.
 
-    Keeps a per-coordinate step count so bias correction matches how many
-    times each coordinate was actually touched (TF LazyAdam applies the
-    global-step bias correction; per-coordinate counts are strictly closer to
-    sparse-Adam semantics and coincide for always-touched coordinates).
+    Bias correction uses the scalar GLOBAL step, exactly as TF contrib's
+    LazyAdamOptimizer does (the reference's DIEN optimizer, dien.py:328-329)
+    — and unlike a per-coordinate count it costs no extra full-table int32
+    pass per step (the count tensor was ~250 us/step of (106k,16)-sized
+    convert+add traffic on DIEN's profile).
     """
 
     def init(params):
         return LazyAdamState(
-            count=jax.tree.map(lambda t: jnp.zeros_like(t, jnp.int32), params),
+            count=jnp.zeros((), jnp.int32),
             mu=jax.tree.map(jnp.zeros_like, params),
             nu=jax.tree.map(jnp.zeros_like, params),
         )
 
     def update(grads, state, params=None):
         del params
-        cnt_new = jax.tree.map(
-            lambda g, c: c + (g != 0).astype(jnp.int32), grads, state.count
-        )
+        cnt_new = state.count + 1
         mu_new = jax.tree.map(
             lambda g, mu: jnp.where(g != 0, b1 * mu + (1 - b1) * g, mu),
             grads, state.mu,
@@ -119,14 +118,14 @@ def lazy_adam(
             grads, state.nu,
         )
 
-        def step(g, c, mu, nu):
-            cf = jnp.maximum(c, 1).astype(g.dtype)
+        def step(g, mu, nu):
+            cf = cnt_new.astype(g.dtype)
             mu_hat = mu / (1 - b1**cf)
             nu_hat = nu / (1 - b2**cf)
             s = -learning_rate * mu_hat / (jnp.sqrt(nu_hat) + eps)
             return jnp.where(g != 0, s, 0.0)
 
-        updates = jax.tree.map(step, grads, cnt_new, mu_new, nu_new)
+        updates = jax.tree.map(step, grads, mu_new, nu_new)
         return updates, LazyAdamState(count=cnt_new, mu=mu_new, nu=nu_new)
 
     return optax.GradientTransformation(init, update)
