@@ -10,9 +10,12 @@ insensitive to dtype (op-count-bound, not bandwidth-bound).
 This kernel computes softmax(mask(q kᵀ / sqrt(d))) v for all heads entirely
 in VMEM, in *transposed* layout — batch on the lane axis, (time, feature) on
 sublanes — so each (i, j) score is a VPU reduction vectorised over 100s of
-examples, and the (T, T) attention matrix never touches HBM.  The backward
-pass is the standard flash-attention derivation, also a Pallas kernel (the
-forward is recomputed per row; nothing but q/k/v/lengths is saved).
+examples.  The backward is analytic (also Pallas); unlike flash attention,
+the TRAINING forward saves the (T, T) attention probabilities to HBM (f32,
+~128 MB round trip at batch 4096) because at T=51 that traffic is cheaper
+than the O(T^2 d) softmax recompute (~0.6 ms of VPU work) — the opposite
+trade from long-sequence flash kernels.  The inference forward (the
+custom_vjp primal) keeps the matrix in VMEM only.
 
 Layout contract (wrappers handle it): q, k, v are (B, H, T, d) in the model;
 internally (H, T*d, B).  d and T are small and static; B tiles over lanes.
@@ -62,8 +65,32 @@ def _fwd_kernel(q_ref, k_ref, v_ref, len_ref, o_ref, *, t: int, d: int):
     jax.lax.fori_loop(0, t, body, 0)
 
 
+def _fwd_kernel_save_attn(q_ref, k_ref, v_ref, len_ref, o_ref, attn_ref,
+                          *, t: int, d: int):
+    """Forward that ALSO writes the attention probabilities: the training
+    path's backward then skips the O(T^2 d) softmax recompute — cheaper than
+    recomputing (~128 MB of f32 HBM traffic round trip at batch 4096 vs
+    ~0.6 ms of VPU work per step; f32 keeps gradient precision)."""
+    tb = q_ref.shape[1]
+    scale = 1.0 / (d**0.5)
+    k3 = k_ref[:].reshape(t, d, tb)
+    v3 = v_ref[:].reshape(t, d, tb)
+    len_col = len_ref[:]
+    row = _attn_rows(q_ref, k3, len_col, t, d, scale)
+
+    tp = -(-t // 8) * 8  # 8-aligned per-query stride (Mosaic sublane rule)
+
+    def body(i, _):
+        attn = row(i)  # (T, TB)
+        o_ref[pl.ds(i * d, d), :] = jnp.sum(attn[:, None, :] * v3, axis=0)
+        attn_ref[pl.ds(i * tp, t), :] = attn
+        return 0
+
+    jax.lax.fori_loop(0, t, body, 0)
+
+
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, len_ref, do_ref,
+    q_ref, k_ref, v_ref, attn_saved_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
     *, t: int, d: int,
 ):
@@ -71,8 +98,11 @@ def _bwd_kernel(
     scale = 1.0 / (d**0.5)
     k3 = k_ref[:].reshape(t, d, tb)
     v3 = v_ref[:].reshape(t, d, tb)
-    len_col = len_ref[:]
-    row = _attn_rows(q_ref, k3, len_col, t, d, scale)
+
+    tp = -(-t // 8) * 8  # matches the forward's 8-aligned stride
+
+    def row(i):  # saved in the forward; no softmax recompute
+        return attn_saved_ref[pl.ds(i * tp, t), :]
 
     # dk/dv accumulate into the (VMEM-resident) output blocks: carrying two
     # (T, d, TB) accumulators through the fori_loop costs ~200 vector
@@ -175,29 +205,57 @@ def _bst_mha_core(
 
 
 def _mha_fwd(q, k, v, lengths, interpret):
-    return _bst_mha_core(q, k, v, lengths, interpret), (q, k, v, lengths)
+    # training path: a 2-output forward also materialises the attention
+    # probabilities (bf16) so the backward never recomputes the softmax
+    b, h, t, d = q.shape
+    tile = _pick_tile(b)
+    qT, kT, vT = (_to_kernel_layout(x) for x in (q, k, v))
+    lenT = lengths[None, :].astype(jnp.int32)
+    io_spec = pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i))
+    specs = [io_spec, io_spec, io_spec,
+             pl.BlockSpec((1, tile), lambda hh, i: (0, i))]
+    tp = -(-t // 8) * 8
+    attn_spec = pl.BlockSpec((1, t * tp, tile), lambda hh, i: (hh, 0, i))
+
+    def kernel(q_ref, k_ref, v_ref, len_ref, o_ref, attn_ref):
+        _fwd_kernel_save_attn(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], len_ref, o_ref.at[0],
+            attn_ref.at[0], t=t, d=d,
+        )
+
+    outT, attnT = pl.pallas_call(
+        kernel,
+        grid=(h, b // tile),
+        in_specs=specs,
+        out_specs=(io_spec, attn_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, t * d, b), jnp.float32),
+            jax.ShapeDtypeStruct((h, t * tp, b), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qT, kT, vT, lenT)
+    return _from_kernel_layout(outT, b, h, t, d), (q, k, v, attnT)
 
 
 def _mha_bwd(interpret, res, g):
-    q, k, v, lengths = res
+    q, k, v, attnT = res
     b, h, t, d = q.shape
     tile = _pick_tile(b, max_tile=128)
     qT, kT, vT = (_to_kernel_layout(x) for x in (q, k, v))
     gT = _to_kernel_layout(g)
-    lenT = lengths[None, :].astype(jnp.int32)
 
+    tp = -(-t // 8) * 8
+    io_spec = pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i))
     specs = [
-        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
-        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
-        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
-        pl.BlockSpec((1, tile), lambda hh, i: (0, i)),
-        pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i)),
+        io_spec, io_spec, io_spec,
+        pl.BlockSpec((1, t * tp, tile), lambda hh, i: (hh, 0, i)),
+        io_spec,
     ]
-    out_spec = pl.BlockSpec((1, t * d, tile), lambda hh, i: (hh, 0, i))
 
-    def kernel(q_ref, k_ref, v_ref, len_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    def kernel(q_ref, k_ref, v_ref, attn_ref, do_ref, dq_ref, dk_ref, dv_ref):
         _bwd_kernel(
-            q_ref.at[0], k_ref.at[0], v_ref.at[0], len_ref, do_ref.at[0],
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], attn_ref.at[0],
+            do_ref.at[0],
             dq_ref.at[0], dk_ref.at[0], dv_ref.at[0],
             t=t, d=d,
         )
@@ -207,10 +265,10 @@ def _mha_bwd(interpret, res, g):
         kernel,
         grid=(h, b // tile),
         in_specs=specs,
-        out_specs=(out_spec, out_spec, out_spec),
+        out_specs=(io_spec, io_spec, io_spec),
         out_shape=(shp, shp, shp),
         interpret=interpret,
-    )(qT, kT, vT, lenT, gT)
+    )(qT, kT, vT, attnT, gT)
     dq = _from_kernel_layout(dqT, b, h, t, d)
     dk = _from_kernel_layout(dkT, b, h, t, d)
     dv = _from_kernel_layout(dvT, b, h, t, d)
