@@ -419,7 +419,8 @@ class Trainer:
         cfg = self.config
         self._compile()
         rng = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
-        checkpointer = _Checkpointer(cfg.model_dir, cfg.keep_best)
+        checkpointer = _Checkpointer(cfg.model_dir, cfg.keep_best,
+                                     mesh=self.mesh)
         summary = SummaryWriter(os.path.join(cfg.model_dir, "summaries"))
 
         train_iter = iter(train_batches)
@@ -513,9 +514,10 @@ def _gather_to_host(tree):
 class _Checkpointer:
     """Orbax checkpoint manager + best-AUC serving exporter."""
 
-    def __init__(self, model_dir: str, keep_best: int):
+    def __init__(self, model_dir: str, keep_best: int, mesh=None):
         import orbax.checkpoint as ocp
 
+        self.mesh = mesh
         self.model_dir = os.path.abspath(model_dir)
         os.makedirs(self.model_dir, exist_ok=True)
         self.mgr = ocp.CheckpointManager(
@@ -546,13 +548,37 @@ class _Checkpointer:
         latest = self.mgr.latest_step()
         if latest is None:
             return state
+        template = {"params": state.params, "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state, "step": state.step}
         restored = self.mgr.restore(
-            latest,
-            args=ocp.args.StandardRestore(
-                {"params": state.params, "batch_stats": state.batch_stats,
-                 "opt_state": state.opt_state, "step": state.step}
-            ),
+            latest, args=ocp.args.StandardRestore(template)
         )
+
+        # Re-pin restored leaves: Orbax restores scalars/replicated leaves
+        # COMMITTED to a single device while table leaves come back
+        # mesh-sharded, and jit refuses the mixed placement (mesh-resume
+        # would fail on the first step after restore).  Sharded-template
+        # leaves keep their sharding; everything else goes mesh-replicated.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = (
+            NamedSharding(self.mesh, PartitionSpec())
+            if self.mesh is not None else None
+        )
+
+        def repin(tmpl, got):
+            if not isinstance(got, jax.Array):
+                return got
+            want = getattr(tmpl, "sharding", None)
+            if replicated is not None and (
+                want is None or not isinstance(want, NamedSharding)
+            ):
+                want = replicated
+            if want is not None and got.sharding != want:
+                return jax.device_put(got, want)
+            return got
+
+        restored = jax.tree.map(repin, template, restored)
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
