@@ -162,6 +162,14 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                     host_count=jax.process_count(),
                 )
             )
+            # strided chunk ownership can leave hosts with unequal batch
+            # counts at end-of-data — coordinate termination so no host
+            # enters a collective step the others have already left
+            # (no-op single-process; wrapped OUTSIDE prefetch so the
+            # collective runs on the consumer thread)
+            from recalgorithm_tpu.parallel import multihost
+
+            train_iter = multihost.synchronized_iterator(train_iter)
         else:
             train_arrays = pipeline.shard_for_host(
                 pipeline.load_dataset(

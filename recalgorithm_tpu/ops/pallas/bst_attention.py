@@ -206,7 +206,7 @@ def _bst_mha_core(
 
 def _mha_fwd(q, k, v, lengths, interpret):
     # training path: a 2-output forward also materialises the attention
-    # probabilities (bf16) so the backward never recomputes the softmax
+    # probabilities (f32) so the backward never recomputes the softmax
     b, h, t, d = q.shape
     tile = _pick_tile(b)
     qT, kT, vT = (_to_kernel_layout(x) for x in (q, k, v))

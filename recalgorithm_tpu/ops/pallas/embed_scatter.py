@@ -56,8 +56,11 @@ def supports(num_rows: int, dim: int, n_ids: int) -> bool:
     if dim > LANES or n_ids < MIN_IDS:
         return False
     rps = LANES // dim
-    srows = -(-num_rows // rps)
-    return srows * LANES * 4 <= MAX_ACC_BYTES
+    # mirror scatter_add_rows' actual allocation: base rows + 2*WINDOW
+    # straddle slop, rounded up to the 256-srow output block size
+    srows = -(-num_rows // rps) + 2 * (WINDOW // rps)
+    v8pad = -(-srows // 256) * 256
+    return v8pad * LANES * 4 <= MAX_ACC_BYTES
 
 
 def _kernel(ids_ref, ids_col_ref, g_ref, out_ref, acc_ref, *, k, rps, w,

@@ -76,3 +76,43 @@ def global_batch(
             sharding, np.asarray(v), global_shape
         )
     return out
+
+
+def synchronized_iterator(it, reduce_min=None):
+    """Lock-step end-of-data coordination for per-host input streams.
+
+    Streaming inputs give each host a disjoint strided set of file chunks
+    (data/pipeline.stream_batches), so hosts can run out of data at
+    DIFFERENT batch counts when the file tail does not divide evenly.  A
+    host that silently leaves the train loop while the others still enter
+    the collective step hangs the job.  This wrapper all-reduces a
+    have-data flag before yielding each batch and stops EVERY host as soon
+    as ANY host is exhausted — the global step count is min over hosts.
+
+    ``reduce_min`` (flag -> global min) is injectable for tests; the
+    default all-gathers the flag across processes.  Single-process: a
+    transparent passthrough (no collective, no overhead).
+    """
+    it = iter(it)
+    if reduce_min is None:
+        if jax.process_count() == 1:
+            yield from it
+            return
+
+        def reduce_min(flag: int) -> int:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray(flag, np.int32)
+            )
+            return int(np.min(flags))
+
+    while True:
+        try:
+            item = next(it)
+            have = 1
+        except StopIteration:
+            item, have = None, 0
+        if reduce_min(have) == 0:
+            return
+        yield item

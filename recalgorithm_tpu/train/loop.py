@@ -99,6 +99,14 @@ class TrainerConfig:
     # measured negative result, kept as an opt-in + the kernel-level win is
     # real for standalone scatter workloads.  Auto-disabled on CPU / mesh.
     fast_embedding_scatter: bool = False
+    # PAD-compacted sequence-gradient scatter (ops/compact_scatter.py): the
+    # backward of every (B, T) sequence gather compacts the valid-prefix
+    # entries to a static cap and scatters only those — WeChat 7-day
+    # sequences are ~85-90% PAD and the XLA scatter pays per entry.  Exact
+    # at any density (cond ladder falls back to the full scatter).  Pure
+    # XLA (no Mosaic), single-chip path only — the mesh path's collectives
+    # are derived by the partitioner / shard_map and keep the full scatter.
+    compact_grad_scatter: bool = False
     # XLA scoped-VMEM budget for the compiled steps.  The default 16 MB
     # forces the embedding-grad scatter to stream the (106k, 16) table
     # through VMEM in column halves; at 64 MB the whole table stays
@@ -254,9 +262,16 @@ class Trainer:
         use_fast_scatter = (
             self.config.fast_embedding_scatter
             and self.mesh is None
-            and jax.devices()[0].platform not in ("cpu",)
+            # Mosaic kernels lower for TPU only (a GPU backend would fail
+            # to compile them, not merely run slow)
+            and jax.devices()[0].platform == "tpu"
         )
-        if not (use_shard_map or use_fast_scatter):
+        use_compact = (
+            self.config.compact_grad_scatter
+            and self.mesh is None
+            and not use_fast_scatter  # mutually exclusive backward overrides
+        )
+        if not (use_shard_map or use_fast_scatter or use_compact):
             return fn
 
         def wrapped(*args):
@@ -265,6 +280,8 @@ class Trainer:
                     stack.enter_context(_tables.shard_map_lookups(self.mesh))
                 if use_fast_scatter:
                     stack.enter_context(_tables.fast_embedding_scatter(True))
+                if use_compact:
+                    stack.enter_context(_tables.compact_grad_scatter(True))
                 return fn(*args)
 
         return wrapped
@@ -345,7 +362,10 @@ class Trainer:
         for path, leaf in flat:
             keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
             tag = "/".join(k for k in keys if k)
-            v = np.asarray(leaf)
+            # summaries of row-sharded tables (the W&D wide kernel) are not
+            # fully addressable in a multi-process mesh; gather collectively
+            # — every process logs, so every process enters the collective
+            v = _leaf_to_host(leaf)
             if v.size == 1:
                 scalars[f"summaries/{tag}"] = float(v)
                 console.append(f"{tag}={float(v):.5f}")
@@ -492,23 +512,57 @@ class Trainer:
         return state, final_eval
 
 
+def _leaf_to_host(x):
+    """One leaf -> full host numpy.  Single-process arrays are fully
+    addressable — device_get suffices even when sharded over a local mesh.
+    Across processes the leaf is first re-laid-out to a replicated sharding
+    (XLA all-gather over ICI/DCN), which every process must enter
+    collectively."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _gather_to_host(tree):
-    """Full host-numpy copies of a (possibly sharded) param tree.
+    """Full host-numpy copies of a (possibly sharded) param tree."""
+    return jax.tree.map(_leaf_to_host, tree)
 
-    Single-process arrays are fully addressable — device_get suffices even
-    when sharded over a local mesh.  Across processes, each leaf is first
-    re-laid-out to a replicated sharding (XLA all-gather over ICI/DCN), which
-    every process must enter collectively.
-    """
 
-    def leaf_to_host(x):
-        if not isinstance(x, jax.Array) or x.is_fully_addressable:
-            return np.asarray(jax.device_get(x))
-        from jax.experimental import multihost_utils
+# round-2 renamed PLE's shared ExpertGroup param scopes so the expert-
+# parallelism sharding rule can identify them; round-1 checkpoints carry the
+# old paths.  restore_latest() falls back through this map (new -> legacy).
+_LEGACY_PARAM_RENAMES = {
+    "experts_shared": "shared",
+    "experts_shared_final": "shared_final",
+}
 
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
-    return jax.tree.map(leaf_to_host, tree)
+def _has_dict_keys(tree, keys) -> bool:
+    if isinstance(tree, Mapping):
+        return any(k in keys for k in tree) or any(
+            _has_dict_keys(v, keys) for v in tree.values()
+        )
+    if isinstance(tree, (list, tuple)):
+        return any(_has_dict_keys(v, keys) for v in tree)
+    return False
+
+
+def _rename_dict_keys(tree, mapping):
+    """Recursively rename dict keys through nested dict/list/tuple/NamedTuple
+    containers (param trees and the optax states that mirror them)."""
+    if isinstance(tree, Mapping):
+        return {
+            mapping.get(k, k): _rename_dict_keys(v, mapping)
+            for k, v in tree.items()
+        }
+    if isinstance(tree, tuple):
+        vals = [_rename_dict_keys(v, mapping) for v in tree]
+        return type(tree)(*vals) if hasattr(tree, "_fields") else tuple(vals)
+    if isinstance(tree, list):
+        return [_rename_dict_keys(v, mapping) for v in tree]
+    return tree
 
 
 class _Checkpointer:
@@ -550,9 +604,22 @@ class _Checkpointer:
             return state
         template = {"params": state.params, "batch_stats": state.batch_stats,
                     "opt_state": state.opt_state, "step": state.step}
-        restored = self.mgr.restore(
-            latest, args=ocp.args.StandardRestore(template)
-        )
+        try:
+            restored = self.mgr.restore(
+                latest, args=ocp.args.StandardRestore(template)
+            )
+        except Exception:
+            # legacy-layout fallback: restore against the old param paths,
+            # then rename back to the current ones (PLE round-1 compat)
+            if not _has_dict_keys(template, _LEGACY_PARAM_RENAMES):
+                raise  # no renamable keys -> genuine failure
+            legacy = _rename_dict_keys(template, _LEGACY_PARAM_RENAMES)
+            restored = self.mgr.restore(
+                latest, args=ocp.args.StandardRestore(legacy)
+            )
+            restored = _rename_dict_keys(
+                restored, {v: k for k, v in _LEGACY_PARAM_RENAMES.items()}
+            )
 
         # Re-pin restored leaves: Orbax restores scalars/replicated leaves
         # COMMITTED to a single device while table leaves come back

@@ -185,3 +185,34 @@ def test_stream_batches_multihost_disjoint(tmp_path):
     set0 = {tuple(np.round(r, 6)) for r in h0}
     set1 = {tuple(np.round(r, 6)) for r in h1}
     assert not (set0 & set1)
+
+
+def test_synchronized_iterator_stops_all_hosts_together():
+    """End-of-data coordination: with unequal per-host streams, every host
+    stops at the global minimum batch count (ADVICE round 2: a host leaving
+    the lock-step loop early deadlocks the others in collectives)."""
+    from recalgorithm_tpu.parallel.multihost import synchronized_iterator
+
+    # simulate 2 hosts: host0 has 5 batches, host1 has 3
+    flags: dict[int, list[int]] = {0: [], 1: []}
+
+    def make_reduce(host):
+        def reduce_min(flag):
+            flags[host].append(flag)
+            # lock-step: both hosts are at the same call index
+            i = len(flags[host]) - 1
+            other = 1 - host
+            other_flag = 1 if i < (3 if other == 1 else 5) else 0
+            return min(flag, other_flag)
+        return reduce_min
+
+    out0 = list(synchronized_iterator(iter(range(5)), make_reduce(0)))
+    out1 = list(synchronized_iterator(iter(range(3)), make_reduce(1)))
+    assert out0 == [0, 1, 2]  # truncated to the global min (3)
+    assert out1 == [0, 1, 2]
+
+
+def test_synchronized_iterator_single_process_passthrough():
+    from recalgorithm_tpu.parallel.multihost import synchronized_iterator
+
+    assert list(synchronized_iterator(iter([1, 2, 3]))) == [1, 2, 3]
