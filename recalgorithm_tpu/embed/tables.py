@@ -64,6 +64,18 @@ _LOOKUP_MESH = None
 # partitioner) and needs Mosaic (not the CPU backend).
 _FAST_SCATTER = False
 
+# When True (via compact_grad_scatter), (B, T) sequence gathers route
+# through ops/compact_scatter.take_compact_bwd: the backward compacts the
+# valid-prefix entries to a static cap-sized buffer and scatters only those
+# — 7-day behaviour sequences are ~85-90% PAD, and the XLA scatter pays per
+# ENTRY whether or not it adds zero.  Exact for any density (cond ladder
+# falls back to the full scatter).  Pure XLA: works on every backend and
+# composes with jit/grad without Mosaic.
+_COMPACT_SCATTER = False
+# below this many ids the full scatter is already cheap and the compaction
+# bookkeeping (cumsum + searchsorted + cap gather) isn't worth its overhead
+COMPACT_SCATTER_MIN_IDS = 16384
+
 
 @contextlib.contextmanager
 def shard_map_lookups(mesh):
@@ -86,6 +98,17 @@ def fast_embedding_scatter(enabled: bool = True):
         yield
     finally:
         _FAST_SCATTER = prev
+
+
+@contextlib.contextmanager
+def compact_grad_scatter(enabled: bool = True):
+    """Enable the PAD-compacted sequence-gradient scatter while tracing."""
+    global _COMPACT_SCATTER
+    prev, _COMPACT_SCATTER = _COMPACT_SCATTER, enabled
+    try:
+        yield
+    finally:
+        _COMPACT_SCATTER = prev
 
 
 @dataclasses.dataclass(frozen=True)
@@ -191,6 +214,11 @@ class EmbeddingCollection(nn.Module):
 
             if fs.supports(tab.shape[0], tab.shape[1], ids.size):
                 return fs.take_fast_bwd(tab, ids)
+        if (_COMPACT_SCATTER and ids.ndim == 2
+                and ids.size >= COMPACT_SCATTER_MIN_IDS):
+            from recalgorithm_tpu.ops import compact_scatter as cs
+
+            return cs.take_compact_bwd(tab, ids)
         return jnp.take(tab, ids, axis=0, mode="clip")
 
     def embed_scalar(self, table: str, ids: jax.Array) -> jax.Array:

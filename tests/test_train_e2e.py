@@ -175,3 +175,44 @@ def test_model_summaries_collection(tmp_path):
     assert any(
         any(k.startswith("summaries/gate_") for k in r) for r in lines
     )
+
+
+def test_legacy_ple_checkpoint_restores(tmp_path):
+    """A round-1-layout PLE checkpoint ('shared'/'shared_final' scopes)
+    restores through the rename shim in _Checkpointer.restore_latest."""
+    from recalgorithm_tpu.models.ple import PLE, PLEConfig
+    from recalgorithm_tpu.train.loop import (
+        _LEGACY_PARAM_RENAMES, _rename_dict_keys,
+    )
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=7, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = PLEConfig(batch_size=64, train_steps=4)
+    model = PLE(config=cfg, schema=schema)
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("adam", 0.005),
+        TrainerConfig(model_dir=str(tmp_path), train_steps=4,
+                      save_checkpoints_steps=0),
+    )
+    state = trainer.init_state(gen.batch(64, 0))
+    assert any("experts_shared" in k for k in state.params)  # rename applies
+
+    # write a checkpoint in the ROUND-1 layout (new -> legacy key names)
+    legacy_state = state.replace(
+        params=_rename_dict_keys(state.params, _LEGACY_PARAM_RENAMES),
+        opt_state=_rename_dict_keys(state.opt_state, _LEGACY_PARAM_RENAMES),
+        step=state.step + 3,
+    )
+    ck = _Checkpointer(str(tmp_path), 5)
+    ck.save(legacy_state)
+    ck.mgr.wait_until_finished()
+
+    restored = ck.restore_latest(trainer.init_state(gen.batch(64, 0)))
+    ck.close()
+    assert int(restored.step) == 3
+    assert set(restored.params) == set(state.params)
+    # and the restored state trains a step under the current layout
+    trainer._compile()
+    batch = trainer._put_batch(gen.batch(64, 1))
+    out, loss = trainer._train_jit(restored, batch, jax.random.key(0, impl="rbg"))
+    assert np.isfinite(float(loss))
