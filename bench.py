@@ -41,7 +41,8 @@ def _cpu_baseline_examples_per_s() -> float:
 TF1_CPU_BASELINE_EXAMPLES_PER_S = _cpu_baseline_examples_per_s()
 
 
-def run_bench(batch_size: int = 4096) -> dict:
+def _throughput(batch_size: int) -> float:
+    """DIN steady-state train throughput (examples/s/chip) at batch_size."""
     import jax
 
     from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
@@ -74,12 +75,25 @@ def run_bench(batch_size: int = 4096) -> dict:
         trainer.train_step_fn, state, device_batch, k_small=8, k_big=k_big,
         compiler_options=trainer.compiler_options
     )
-    per_chip = batch_size / step_us * 1e6 / n_chips
+    return batch_size / step_us * 1e6 / n_chips
+
+
+def run_bench(batch_size: int = 4096) -> dict:
+    per_chip = _throughput(batch_size)
+    # like-for-like vs the measured CPU baseline: the baseline trains at the
+    # reference batch 1024, so report a b1024 TPU number alongside —
+    # vs_baseline_b1024 is the apples-to-apples multiple, the headline b4096
+    # value is the throughput number (see benchmarks/BATCH_SCALING.md)
+    per_chip_b1024 = _throughput(1024)
     return {
         "metric": "DIN_train_examples_per_s_per_chip_b4096",
         "value": round(per_chip, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(per_chip / TF1_CPU_BASELINE_EXAMPLES_PER_S, 2),
+        "value_b1024": round(per_chip_b1024, 1),
+        "vs_baseline_b1024": round(
+            per_chip_b1024 / TF1_CPU_BASELINE_EXAMPLES_PER_S, 2
+        ),
     }
 
 
