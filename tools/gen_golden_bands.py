@@ -47,6 +47,15 @@ def main():
             aucs = G.run_golden(name, tmp)
         goldens[name] = {k: round(v, 5) for k, v in sorted(aucs.items())}
         print(f"{name}: {goldens[name]} ({time.time()-t0:.0f}s)", flush=True)
+        for task, v in goldens[name].items():
+            # a band whose lower edge sits at ~0.5 cannot distinguish a
+            # dead (sigmoid-of-noise) model from a healthy one — refuse to
+            # write it; raise steps / tune LR in golden_common.PER_MODEL
+            assert v - G.BAND >= 0.55, (
+                f"{name}.{task}: golden {v:.5f} - band {G.BAND} < 0.55 — "
+                "this band would accept a collapsed model (AUC 0.5). "
+                "Tune PER_MODEL in tests/golden_common.py first."
+            )
 
     with open(path, "w") as f:
         json.dump(dict(sorted(goldens.items())), f, indent=1)
