@@ -63,18 +63,37 @@ class PLE(nn.Module):
                 name=f"extract_network_{i}",
             )(x)
 
-        # final CGC: per-task gates over (task ∪ shared) experts (ple.py:183-228)
-        shared = ExpertGroup(
-            cfg.num_experts_in_shared, cfg.expert_hidden_units,
-            compute_dtype=cfg.compute_dtype, name="experts_shared_final",
-        )(x)
+        # final CGC: per-task gates over (task ∪ shared) experts
+        # (ple.py:183-228).  All final expert groups run as ONE stacked
+        # einsum (param layout stays per-group via ExpertGroup.weights);
+        # per-task mixes slice their (task ++ shared) slots out of it.
+        groups = [
+            ExpertGroup(n_task, cfg.expert_hidden_units,
+                        compute_dtype=cfg.compute_dtype,
+                        name=f"experts_final_{task}")
+            for task, n_task in zip(cfg.task_names, cfg.num_experts_per_task)
+        ] + [ExpertGroup(cfg.num_experts_in_shared, cfg.expert_hidden_units,
+                         compute_dtype=cfg.compute_dtype,
+                         name="experts_shared_final")]
+        ws, bs = zip(*(g.weights(x.shape[-1]) for g in groups))
+        w_all = jnp.concatenate(ws, axis=0)
+        b_all = jnp.concatenate(bs, axis=0)
+        xc = x if cfg.compute_dtype is None else x.astype(cfg.compute_dtype)
+        wc = (w_all if cfg.compute_dtype is None
+              else w_all.astype(cfg.compute_dtype))
+        h = nn.relu(
+            jnp.einsum("bi,eih->beh", xc, wc,
+                       preferred_element_type=jnp.float32) + b_all
+        )  # (B, sumE, H); slots = [task experts..., shared]
+        offs = [0]
+        for n_task in cfg.num_experts_per_task:
+            offs.append(offs[-1] + n_task)
+        shared = h[:, offs[-1]:, :]
         out = {}
-        for task, n_task in zip(cfg.task_names, cfg.num_experts_per_task):
-            task_experts = ExpertGroup(
-                n_task, cfg.expert_hidden_units,
-                compute_dtype=cfg.compute_dtype, name=f"experts_final_{task}",
-            )(x)
-            combined = jnp.concatenate([task_experts, shared], axis=1)
+        for i, task in enumerate(cfg.task_names):
+            combined = jnp.concatenate(
+                [h[:, offs[i]:offs[i + 1], :], shared], axis=1
+            )
             gate = SoftmaxGate(combined.shape[1], name=f"gate_final_{task}")(x)
             tower_in = mix_experts(combined, gate)
             out[task] = TaskTower(

@@ -26,6 +26,12 @@ class ExpertGroup(nn.Module):
 
     (B, in) -> (B, E, H).  Matches mmoe.py:208-216 / the per-expert
     tf.layers.dense(relu) calls in extraction_network.py:27-46.
+
+    ``weights(in_dim)`` exposes the (E, in, H) kernel and (E, H) bias
+    without computing, so a parent layer can concatenate several groups'
+    kernels into ONE stacked einsum (ExtractionNetwork does this: one
+    (B, sumE, H) contraction instead of 4 small ones) while the param /
+    checkpoint layout stays per-group.
     """
 
     num_experts: int
@@ -33,14 +39,17 @@ class ExpertGroup(nn.Module):
     compute_dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_dim = x.shape[-1]
+    def weights(self, in_dim: int) -> tuple[jax.Array, jax.Array]:
         w = self.param(
             "kernel", glorot_uniform, (self.num_experts, in_dim, self.hidden_units)
         )
         b = self.param(
             "bias", nn.initializers.zeros, (self.num_experts, self.hidden_units)
         )
+        return w, b
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w, b = self.weights(x.shape[-1])
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
             w = w.astype(self.compute_dtype)
@@ -110,23 +119,46 @@ class ExtractionNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, in) -> (B, H)
-        shared = ExpertGroup(
-            self.num_experts_in_shared, self.expert_hidden_units,
-            compute_dtype=self.compute_dtype, name="experts_shared",
-        )(x)  # (B, Es, H)
-        outputs = []
-        all_experts = []
-        for task, n_task in zip(self.task_names, self.num_experts_per_task):
-            task_experts = ExpertGroup(
-                n_task, self.expert_hidden_units,
-                compute_dtype=self.compute_dtype, name=f"experts_{task}",
-            )(x)  # (B, Et, H)
-            all_experts.append(task_experts)
-            combined = jnp.concatenate([task_experts, shared], axis=1)
-            gate = SoftmaxGate(combined.shape[1], name=f"gate_{task}")(x)
-            outputs.append(mix_experts(combined, gate))
-        all_experts.append(shared)
-        all_experts = jnp.concatenate(all_experts, axis=1)
-        all_gate = SoftmaxGate(all_experts.shape[1], name="all_gate")(x)
-        outputs.append(mix_experts(all_experts, all_gate))
-        return sum(outputs)
+        # Because the reference SUMS every per-task mixture and the
+        # all-experts mixture into one tensor (extraction_network.py:85),
+        # the whole block is linear in the gate weights: run ALL experts as
+        # ONE stacked (B, sumE, H) einsum (param/checkpoint layout stays
+        # per-group via ExpertGroup.weights), accumulate each gate's
+        # weights into per-expert-slot effective weights, and mix ONCE —
+        # 4 expert einsums + 4 mixes collapse to 1 + 1 (round-2 verdict:
+        # PLE's step was a long tail of small (B, E, 256) fusions).
+        in_dim = x.shape[-1]
+        groups = [
+            ExpertGroup(n_task, self.expert_hidden_units,
+                        compute_dtype=self.compute_dtype,
+                        name=f"experts_{task}")
+            for task, n_task in zip(self.task_names, self.num_experts_per_task)
+        ] + [ExpertGroup(self.num_experts_in_shared, self.expert_hidden_units,
+                         compute_dtype=self.compute_dtype,
+                         name="experts_shared")]
+        ws, bs = zip(*(g.weights(in_dim) for g in groups))
+        w_all = jnp.concatenate(ws, axis=0)   # (sumE, in, H)
+        b_all = jnp.concatenate(bs, axis=0)   # (sumE, H)
+        xc = x if self.compute_dtype is None else x.astype(self.compute_dtype)
+        wc = (w_all if self.compute_dtype is None
+              else w_all.astype(self.compute_dtype))
+        h = nn.relu(
+            jnp.einsum("bi,eih->beh", xc, wc,
+                       preferred_element_type=jnp.float32) + b_all
+        )  # (B, sumE, H); slots = [task0.., task1.., task2.., shared..]
+
+        n_tasks = len(self.task_names)
+        es = self.num_experts_in_shared
+        offs = [0]
+        for n_task in self.num_experts_per_task:
+            offs.append(offs[-1] + n_task)
+        sum_e = offs[-1] + es
+
+        # all-experts gate covers the slots in stacked order already
+        w_eff = SoftmaxGate(sum_e, name="all_gate")(x)  # (B, sumE)
+        for i, task in enumerate(self.task_names):
+            et = self.num_experts_per_task[i]
+            gate = SoftmaxGate(et + es, name=f"gate_{task}")(x)
+            w_eff = w_eff.at[:, offs[i]:offs[i + 1]].add(gate[:, :et])
+            w_eff = w_eff.at[:, offs[n_tasks]:].add(gate[:, et:])
+        return mix_experts(h, w_eff)
