@@ -135,6 +135,24 @@ def main():
     dt = time.perf_counter() - t0
     results["stream_batches+prefetch"] = round(n / dt, 1)
 
+    # wave-parallel parser thread scaling: the native reader parses record
+    # framing serially (cheap) and fans the payload parse out over waves of
+    # n_threads records.  On this 1-core image threads oversubscribe a
+    # single core, so absolute rows/s stays flat — the quantity of interest
+    # is per-wave overhead (rows/s at t=1 vs t=2/4 shows the fan-out tax)
+    # and rows/s/core for sizing production feeder hosts.
+    try:
+        from recalgorithm_tpu.runtime.loader import read_dataset
+
+        for t in (1, 2, 4):
+            t0 = time.perf_counter()
+            d = read_dataset(path, schema, vocabs, n_threads=t)
+            dt = time.perf_counter() - t0
+            results[f"native_parse_rows_per_s_t{t}"] = round(
+                d.num_examples / dt, 1)
+    except Exception as e:  # no compiler on this host
+        results["native_parse_rows_per_s_t1"] = f"unavailable: {e}"
+
     out = {
         "metric": "host_pipeline_rows_per_s",
         "batch_size": args.batch_size,

@@ -26,6 +26,11 @@ import json
 import sys
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,7 +164,8 @@ def time_variant(fn, ids, g, k_small=8, k_big=40, repeats=3):
         def run(acc, ids, g):
             def body(i, acc):
                 out = fn(ids, g + (1e-30 * acc[0, 0]))
-                return out[: acc.shape[0]] + acc * 0.0
+                out2d = out.reshape(-1, out.shape[-1])
+                return out2d[: acc.shape[0], : acc.shape[1]] + acc * 0.0
 
             acc = jax.lax.fori_loop(0, k, body, acc)
             return acc, acc[0, 0]
@@ -184,40 +190,49 @@ def time_variant(fn, ids, g, k_small=8, k_big=40, repeats=3):
     return (times[k_big] - times[k_small]) / (k_big - k_small) * 1e6
 
 
+def variant_e(ids, g):
+    """The production path: ops/compact_scatter.scatter_grad (cond ladder)."""
+    from recalgorithm_tpu.ops.compact_scatter import scatter_grad
+
+    return scatter_grad(ids, g, V, caps=(2, 4, 8))
+
+
+BENCHES = {
+    "A_full_scatter": variant_a,
+    "B_sortdesc_chunks": variant_b,
+    "C_lensort_tmajor": variant_c,
+    "D_compact_cap": variant_d,
+    "E_prod_ladder": variant_e,
+    "gather_rows_64B": gather_rows,
+    "gather_batch_3200B": gather_batch,
+    "sort_204800": sort_only,
+}
+for _n in (16384, 32768, 65536, 131072, 204800):
+    BENCHES[f"scatter_{_n}"] = functools.partial(scatter_n, n=_n)
+
+
 def main():
+    names = sys.argv[1:] or list(BENCHES)
     ids, g = make_inputs()
     nonpad = int(jnp.sum(ids > 0))
     print(f"B={B} T={T} K={K} V={V} nonpad={nonpad} "
-          f"({100 * nonpad / (B * T):.1f}% density)", file=sys.stderr)
+          f"({100 * nonpad / (B * T):.1f}% density)", file=sys.stderr, flush=True)
 
-    # correctness first
-    ref = np.asarray(variant_a(ids, g))
+    ref = None
     results = {}
-    for name, fn in [("A_full_scatter", variant_a),
-                     ("B_sortdesc_chunks", variant_b),
-                     ("C_lensort_tmajor", variant_c),
-                     ("D_compact_cap", variant_d)]:
-        got = np.asarray(jax.jit(fn, compiler_options=OPTS)(ids, g))
-        err = float(np.max(np.abs(got - ref)))
-        assert err < 1e-3, (name, err)
+    for name in names:
+        fn = BENCHES[name]
+        if name[0] in "ABCDE":  # correctness vs the full scatter
+            if ref is None:
+                ref = np.asarray(jax.jit(variant_a)(ids, g))
+            got = np.asarray(jax.jit(fn, compiler_options=OPTS)(ids, g))
+            err = float(np.max(np.abs(got - ref)))
+            assert err < 1e-3, (name, err)
         us = time_variant(fn, ids, g)
         results[name] = round(us, 1)
-        print(f"{name}: {us:.1f} us (maxerr {err:.2e})", file=sys.stderr)
+        print(f"{name}: {us:.1f} us", file=sys.stderr, flush=True)
 
-    for n in (16384, 32768, 65536, 131072, 204800):
-        us = time_variant(functools.partial(scatter_n, n=n), ids, g)
-        results[f"scatter_{n}"] = round(us, 1)
-        print(f"scatter N={n}: {us:.1f} us ({us / n * 1000:.1f} us/1k)",
-              file=sys.stderr)
-
-    for name, fn in [("gather_rows_64B", gather_rows),
-                     ("gather_batch_3200B", gather_batch),
-                     ("sort_204800", sort_only)]:
-        us = time_variant(fn, ids, g)
-        results[name] = round(us, 1)
-        print(f"{name}: {us:.1f} us", file=sys.stderr)
-
-    print(json.dumps(results))
+    print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":

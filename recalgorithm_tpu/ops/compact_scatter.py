@@ -69,8 +69,14 @@ def _compact_scatter(ids, g, num_rows: int, cap: int) -> jax.Array:
     b_j = jnp.clip(jnp.searchsorted(off, j, side="right") - 1, 0, b - 1)
     t_j = j - off[b_j]
     valid = j < off[-1]
-    idv = jnp.where(valid, jnp.clip(ids[b_j, t_j], 0, num_rows - 1), 0)
-    gv = g[b_j, t_j, :] * valid[:, None].astype(g.dtype)
+    # flat ROW gathers: a 2-D-indexed gather from the 3-D (B, T, K) operand
+    # lowers to per-element slices; flattening to (B*T,) rows keeps it on
+    # the fast row-gather path
+    flat_idx = jnp.where(valid, b_j * t + t_j, 0)
+    idv = jnp.where(
+        valid, jnp.clip(ids.reshape(-1)[flat_idx], 0, num_rows - 1), 0
+    )
+    gv = g.reshape(-1, k)[flat_idx] * valid[:, None].astype(g.dtype)
     return jnp.zeros((num_rows, k), g.dtype).at[idv].add(gv)
 
 
@@ -80,7 +86,7 @@ def _full_scatter(ids, g, num_rows: int) -> jax.Array:
     return jnp.zeros((num_rows, k), g.dtype).at[flat].add(g.reshape(-1, k))
 
 
-def scatter_grad(ids, g, num_rows: int, caps=(4, 8)) -> jax.Array:
+def scatter_grad(ids, g, num_rows: int, caps=(2, 3, 4, 6, 8)) -> jax.Array:
     """dtable for a (B, T) valid-prefix id batch: cond ladder over caps.
 
     caps are DIVISORS of B*T (cap_i = B*T // d): the ladder tries the
