@@ -52,8 +52,6 @@ def make_take(kind):
         if kind == "nocond":
             return cs._compact_scatter(ids, g, num_rows, ids.size // 4), None
         if kind == "onecond":
-            return cs.scatter_grad(ids, g, num_rows, caps=(4,)), None
-        if kind == "ladder":
             return cs.scatter_grad(ids, g, num_rows), None
         raise ValueError(kind)
 

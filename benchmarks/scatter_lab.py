@@ -194,7 +194,44 @@ def variant_e(ids, g):
     """The production path: ops/compact_scatter.scatter_grad (cond ladder)."""
     from recalgorithm_tpu.ops.compact_scatter import scatter_grad
 
-    return scatter_grad(ids, g, V, caps=(2, 4, 8))
+    return scatter_grad(ids, g, V)
+
+
+def variant_f(ids, g):
+    """Production _compact_scatter direct: fixed cap, flat gathers, no cond."""
+    from recalgorithm_tpu.ops.compact_scatter import _compact_scatter
+
+    return _compact_scatter(ids, g, V, ids.size // 4)
+
+
+def _off(ids):
+    lens = jnp.max(jnp.where(
+        ids > 0, jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1) + 1, 0
+    ), axis=1)
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)])
+
+
+def searchsorted_bench(method):
+    def fn(ids, g):
+        off = _off(ids)
+        j = jnp.arange(ids.size // 4, dtype=jnp.int32)
+        b = jnp.searchsorted(off, j, side="right", method=method) - 1
+        return (b[:, None] * jnp.ones((1, K)))  # 2-D for the harness
+    return fn
+
+
+def gather_cap_rows(ids, g):
+    """Flat row-gather of cap rows from the (B*T, K) cotangent."""
+    cap = ids.size // 4
+    idx = (jnp.arange(cap, dtype=jnp.int32) * 3) % ids.size
+    return g.reshape(-1, K)[idx]
+
+
+def scatter_cap(ids, g):
+    cap = ids.size // 4
+    flat = ids.reshape(-1)[:cap]
+    return jnp.zeros((V, K), jnp.float32).at[flat].add(g.reshape(-1, K)[:cap])
 
 
 BENCHES = {
@@ -203,6 +240,13 @@ BENCHES = {
     "C_lensort_tmajor": variant_c,
     "D_compact_cap": variant_d,
     "E_prod_ladder": variant_e,
+    "F_compact_nocond": variant_f,
+    "searchsorted_scan": searchsorted_bench("scan"),
+    "searchsorted_unrolled": searchsorted_bench("scan_unrolled"),
+    "searchsorted_sort": searchsorted_bench("sort"),
+    "searchsorted_compare_all": searchsorted_bench("compare_all"),
+    "gather_cap_rows": gather_cap_rows,
+    "scatter_cap": scatter_cap,
     "gather_rows_64B": gather_rows,
     "gather_batch_3200B": gather_batch,
     "sort_204800": sort_only,
@@ -222,7 +266,7 @@ def main():
     results = {}
     for name in names:
         fn = BENCHES[name]
-        if name[0] in "ABCDE":  # correctness vs the full scatter
+        if name[0] in "ABCDEF":  # correctness vs the full scatter
             if ref is None:
                 ref = np.asarray(jax.jit(variant_a)(ids, g))
             got = np.asarray(jax.jit(fn, compiler_options=OPTS)(ids, g))

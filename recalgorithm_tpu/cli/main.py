@@ -96,6 +96,10 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
     parser.add_argument("--shard_map_embeddings", action="store_true",
                         help="use the explicit shard_map embedding exchange "
                              "instead of partitioner-derived collectives")
+    parser.add_argument("--no_compact_grad_scatter", action="store_true",
+                        help="disable the PAD-compacted sequence-gradient "
+                             "scatter (on by default single-chip; dense "
+                             "batches auto-dispatch to the plain step)")
     parser.add_argument("--predictions_csv", default="predictions.csv")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--profile_dir", default=None,
@@ -233,6 +237,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             save_checkpoints_steps=cfg.save_checkpoints_steps,
             seed=args.seed,
             shard_map_embeddings=args.shard_map_embeddings,
+            compact_grad_scatter=not args.no_compact_grad_scatter,
             scoped_vmem_limit_kib=cfg.scoped_vmem_limit_kib,
         ),
         mesh=mesh,

@@ -55,21 +55,12 @@ DENSE_LOOKUP_MAX_ROWS = 2048
 # mesh is visible while jit traces them.
 _LOOKUP_MESH = None
 
-# When True (via fast_embedding_scatter), big-table gathers use the Pallas
-# MXU scatter for their backward (ops/pallas/embed_scatter.py): the XLA
-# scatter of B*T duplicate rows is the single largest op in every sequence
-# model's step (~2.8 ms at batch 4096 — the round-1 "scatter floor"); the
-# sorted one-hot-matmul backward runs ~2.3x faster.  Single-chip TPU only —
-# the kernel is not partitioner-aware (mesh paths use sharded.py / the
-# partitioner) and needs Mosaic (not the CPU backend).
-_FAST_SCATTER = False
-
 # When True (via compact_grad_scatter), (B, T) sequence gathers route
 # through ops/compact_scatter.take_compact_bwd: the backward compacts the
 # valid-prefix entries to a static cap-sized buffer and scatters only those
 # — 7-day behaviour sequences are ~85-90% PAD, and the XLA scatter pays per
-# ENTRY whether or not it adds zero.  Exact for any density (cond ladder
-# falls back to the full scatter).  Pure XLA: works on every backend and
+# ENTRY whether or not it adds zero.  Exact for any density (a cond'd
+# residual covers overflow).  Pure XLA: works on every backend and
 # composes with jit/grad without Mosaic.
 _COMPACT_SCATTER = False
 # below this many ids the full scatter is already cheap and the compaction
@@ -87,17 +78,6 @@ def shard_map_lookups(mesh):
         yield
     finally:
         _LOOKUP_MESH = prev
-
-
-@contextlib.contextmanager
-def fast_embedding_scatter(enabled: bool = True):
-    """Enable the MXU embedding-gradient scatter while tracing."""
-    global _FAST_SCATTER
-    prev, _FAST_SCATTER = _FAST_SCATTER, enabled
-    try:
-        yield
-    finally:
-        _FAST_SCATTER = prev
 
 
 @contextlib.contextmanager
@@ -209,16 +189,17 @@ class EmbeddingCollection(nn.Module):
         emb = self._maybe_sharded_gather(tab, ids)
         if emb is not None:
             return emb
-        if _FAST_SCATTER:
-            from recalgorithm_tpu.ops.pallas import embed_scatter as fs
-
-            if fs.supports(tab.shape[0], tab.shape[1], ids.size):
-                return fs.take_fast_bwd(tab, ids)
         if (_COMPACT_SCATTER and ids.ndim == 2
                 and ids.size >= COMPACT_SCATTER_MIN_IDS):
             from recalgorithm_tpu.ops import compact_scatter as cs
 
-            return cs.take_compact_bwd(tab, ids)
+            # long sequences only: short-T lookups (tag lists, crosses)
+            # run ~25%+ live and their narrow-row compaction gathers cost
+            # more than the scatter they save (W&D 652k -> 612k ex/s
+            # measured with the cross compacted; 7-day sequences at T=50
+            # gain +11%)
+            if ids.shape[-1] >= cs.LONG_SEQ_T:
+                return cs.take_compact_bwd(tab, ids)
         return jnp.take(tab, ids, axis=0, mode="clip")
 
     def embed_scalar(self, table: str, ids: jax.Array) -> jax.Array:

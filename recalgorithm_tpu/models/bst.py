@@ -36,7 +36,6 @@ class BSTConfig(common.TrainFlags):
     num_transformer_heads: int = 3
     pooling_method: str = "sum"  # {'sum', 'mean'}
     use_fused_attention: bool = False  # Pallas MHA core (TPU)
-    use_fused_block: bool = False  # whole transformer block as Pallas kernels
     mlp_activation: str = "none"  # reference parity; "relu" for standard MLP
     task_names: tuple[str, ...] = ("read_comment",)
 
@@ -63,7 +62,7 @@ class BST(nn.Module):
             x = BSTTransformerBlock(
                 num_heads=cfg.num_transformer_heads,
                 max_length=cfg.sequence_max_length + 1,
-                fused="block" if cfg.use_fused_block else cfg.use_fused_attention,
+                fused=cfg.use_fused_attention,
                 name=f"transformer_{i}",
             )(x, lengths + 1)
         if cfg.pooling_method == "sum":

@@ -102,11 +102,10 @@ class BSTTransformerBlock(nn.Module):
     num_heads: int
     max_length: int
     use_position_embedding: bool = True
-    # False = pure XLA; "core" / True = Pallas attention core; "block" = the
-    # whole block (projections + attention + W_o + LN/FFN/LN) as one Pallas
-    # kernel pair (ops/pallas/bst_block.py) — XLA's in-context handling of the
-    # (B, T, 16) chain costs ~4ms/step more than the same math in VMEM.
-    fused: bool | str = False
+    # False = pure XLA; True = Pallas attention core (bst_attention.py).
+    # (A whole-block Pallas kernel was measured 18 vs 11.5 ms and removed
+    # in round 3 — docs/ROADMAP.md negative results.)
+    fused: bool = False
     interpret: bool = False  # run the kernel interpreted (CPU tests)
 
     @nn.compact
@@ -129,31 +128,6 @@ class BSTTransformerBlock(nn.Module):
         w_k = self.param("w_k", glorot_uniform, (self.num_heads, d, d))
         w_v = self.param("w_v", glorot_uniform, (self.num_heads, d, d))
         w_o = self.param("w_o", glorot_uniform, (self.num_heads * d, d))
-
-        if self.fused == "block":
-            from recalgorithm_tpu.ops.pallas.bst_block import bst_block_fused
-
-            # materialise the LN/FFN params with the same names the plain
-            # path creates (outputs unused -> DCE'd), then hand the whole
-            # param set to the fused kernel.
-            dummy = jnp.zeros((1, d), x.dtype)
-            nn.LayerNorm(name="ln1")(dummy)
-            Dense(d, name="ffn")(dummy)
-            nn.LayerNorm(name="ln2")(dummy)
-            params = {
-                "position_embedding": (
-                    pos_table if self.use_position_embedding
-                    else jnp.zeros((self.max_length, d), x.dtype)
-                ),
-                "w_q": w_q, "w_k": w_k, "w_v": w_v, "w_o": w_o,
-                "ln1": self.get_variable("params", "ln1"),
-                "ffn": self.get_variable("params", "ffn"),
-                "ln2": self.get_variable("params", "ln2"),
-            }
-            return bst_block_fused(
-                x, lengths, params, self.num_heads, self.max_length,
-                self.interpret,
-            )
 
         q = jnp.einsum("btk,hkj->bhtj", q_in, w_q)
         k = jnp.einsum("btk,hkj->bhtj", k_in, w_k)

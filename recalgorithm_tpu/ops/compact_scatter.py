@@ -18,9 +18,12 @@ This module removes the PAD work with STATIC shapes:
   * the valid entries are compacted to a static ``cap``-sized buffer via
     that index map (a cap-row gather), and ONE cap-sized scatter updates the
     table — scatter work drops by the PAD fraction;
-  * a ``lax.cond`` ladder picks the smallest cap >= the batch's true valid
-    count, falling back to the full scatter for dense batches, so the
-    result is EXACT for any density (the branch choice only affects speed).
+  * density handling lives on the HOST, not in-graph: an in-graph
+    ``lax.cond`` (any shape of it) stalls the pipeline ~1 ms on the scalar
+    predicate (measured, benchmarks/compact_probe2.py).  The Trainer checks
+    each batch's ``*_len`` columns (``batch_fits_compact``) and routes
+    dense batches to a separately-compiled plain-scatter step, so the
+    result is EXACT for any density with zero hot-path branching.
 
 ``take_compact_bwd(tab, ids)`` is the drop-in custom-vjp gather used by
 embed/tables.py behind TrainerConfig.compact_grad_scatter.  Works for any
@@ -66,17 +69,33 @@ def _compact_scatter(ids, g, num_rows: int, cap: int) -> jax.Array:
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens).astype(jnp.int32)]
     )
     j = jnp.arange(cap, dtype=jnp.int32)
-    b_j = jnp.clip(jnp.searchsorted(off, j, side="right") - 1, 0, b - 1)
+    # method='compare_all' is essential: the default 'scan' binary search
+    # costs 4.75 ms for 51k queries on v5e where the vectorised all-pairs
+    # compare costs 16 us (benchmarks/scatter_lab.py searchsorted_*)
+    b_j = jnp.clip(
+        jnp.searchsorted(off, j, side="right", method="compare_all") - 1,
+        0, b - 1,
+    )
     t_j = j - off[b_j]
     valid = j < off[-1]
     # flat ROW gathers: a 2-D-indexed gather from the 3-D (B, T, K) operand
     # lowers to per-element slices; flattening to (B*T,) rows keeps it on
-    # the fast row-gather path
-    flat_idx = jnp.where(valid, b_j * t + t_j, 0)
+    # the fast row-gather path.  flat_idx is non-decreasing ((b, t)
+    # lexicographic over the valid prefix, then a constant tail), so the
+    # sorted-indices hint applies.
+    n = b * t
+    flat_idx = jnp.where(valid, b_j * t + t_j, n - 1)
+    flat_ids = ids.reshape(-1)
     idv = jnp.where(
-        valid, jnp.clip(ids.reshape(-1)[flat_idx], 0, num_rows - 1), 0
+        valid,
+        jnp.clip(flat_ids.at[flat_idx].get(indices_are_sorted=True,
+                                           mode="clip"),
+                 0, num_rows - 1),
+        0,
     )
-    gv = g.reshape(-1, k)[flat_idx] * valid[:, None].astype(g.dtype)
+    gv = g.reshape(-1, k).at[flat_idx].get(indices_are_sorted=True,
+                                           mode="clip")
+    gv = gv * valid[:, None].astype(g.dtype)
     return jnp.zeros((num_rows, k), g.dtype).at[idv].add(gv)
 
 
@@ -86,33 +105,69 @@ def _full_scatter(ids, g, num_rows: int) -> jax.Array:
     return jnp.zeros((num_rows, k), g.dtype).at[flat].add(g.reshape(-1, k))
 
 
-def scatter_grad(ids, g, num_rows: int, caps=(2, 3, 4, 6, 8)) -> jax.Array:
-    """dtable for a (B, T) valid-prefix id batch: cond ladder over caps.
+# The static compact buffer holds B*T // CAP_DIVISOR entries; batches
+# whose live count exceeds it must take the plain-scatter executable (the
+# host check below routes them there).  Only LONG sequences compact
+# (engine gate, embed/tables.py): 7-day windows at T=50 run ~10-15% live
+# and gain +11%; short-T lookups (tag lists at T=24, hashed crosses of
+# them) run ~25%+ live and their narrow-row compaction gathers cost more
+# than the scatter they save (measured: W&D 652k -> 612k ex/s with the
+# cross compacted).
+CAP_DIVISOR = 4
+LONG_SEQ_T = 32
 
-    caps are DIVISORS of B*T (cap_i = B*T // d): the ladder tries the
-    smallest buffer first and escalates; a batch denser than the largest
-    divisor falls back to the exact full scatter.  Entries with id 0 always
-    contribute to row 0, which the engine masks out of the forward — row 0
-    still receives their (zero) gradient, exactly like the full scatter.
+
+def _divisor_for(t: int) -> int:
+    return CAP_DIVISOR
+
+
+def scatter_grad(ids, g, num_rows: int,
+                 cap_divisor: int | None = None) -> jax.Array:
+    """dtable for a (B, T) valid-prefix id batch, scattering only the
+    first ``B*T // cap_divisor`` live entries.
+
+    CONTRACT: the batch's live count must fit the cap — entries ranked
+    beyond it are dropped.  The decision is deliberately NOT in-graph: a
+    data-dependent ``lax.cond`` (any shape of it) stalls the TPU pipeline
+    ~1 ms waiting for the scalar predicate (measured, compact_probe2 /
+    docs/ROADMAP.md), eating the whole win.  Instead the Trainer checks
+    the batch's ``*_len`` columns ON HOST (``batch_fits_compact``) and
+    dispatches dense batches to a separately-compiled plain-scatter step
+    — no in-graph branch, exact at every density.
     """
     n = ids.size
-    nvalid = jnp.sum(ids > 0)
-    sizes = sorted({max(256, n // d) for d in caps if n // d >= 256})
-    out = None
+    if cap_divisor is None:
+        cap_divisor = _divisor_for(ids.shape[-1])
+    return _compact_scatter(ids, g, num_rows, max(256, n // cap_divisor))
 
-    def make(cap, next_fn):
-        def run(_):
-            return _compact_scatter(ids, g, num_rows, cap)
 
-        def escalate(_):
-            return next_fn(_)
+def batch_fits_compact(batch, schema, min_ids: int | None = None) -> bool:
+    """Host-side check: every compact-eligible lookup in this batch fits
+    its compact buffer.
 
-        return lambda _: jax.lax.cond(nvalid <= cap, run, escalate, _)
+    Conservative: every (B, T) lookup the engine can route to
+    take_compact_bwd draws its ids from a schema sequence feature (or a
+    hashed cross of one, whose live length is <= the underlying
+    feature's), so checking sum(lens) <= B*T // cap_divisor for every
+    sequence feature bounds them all.
+    """
+    import numpy as np
 
-    fn = lambda _: _full_scatter(ids, g, num_rows)
-    for cap in reversed(sizes):
-        fn = make(cap, fn)
-    return fn(None)
+    if min_ids is None:
+        from recalgorithm_tpu.embed.tables import COMPACT_SCATTER_MIN_IDS
+
+        min_ids = COMPACT_SCATTER_MIN_IDS
+    for f in schema.sequence:
+        if f.max_length < LONG_SEQ_T:
+            continue  # short-T lookups never compact (engine gate)
+        lens = batch.get(f.name + "_len")
+        if lens is None:
+            continue
+        n = np.asarray(lens).shape[0] * f.max_length
+        if (n >= min_ids
+                and int(np.sum(lens)) > n // _divisor_for(f.max_length)):
+            return False
+    return True
 
 
 @jax.custom_vjp

@@ -90,23 +90,17 @@ class TrainerConfig:
     # instead of partitioner-derived collectives.  Requires a mesh;
     # numerically identical to the auto path (tests/test_sharding.py).
     shard_map_embeddings: bool = False
-    # Single-chip TPU: back big-table sequence gathers with the Pallas MXU
-    # scatter (ops/pallas/embed_scatter.py).  ISOLATED the kernel beats the
-    # XLA scatter floor 2.8ms -> 1.2ms (sort+reorder included: ~2.0ms), but
-    # wired into full model steps it REGRESSES (DIN 6.0 -> 10.9ms: the
-    # custom-vjp boundary forces cotangent materialisation with layout
-    # copies and breaks XLA's fusion plan around the gather).  Default OFF —
-    # measured negative result, kept as an opt-in + the kernel-level win is
-    # real for standalone scatter workloads.  Auto-disabled on CPU / mesh.
-    fast_embedding_scatter: bool = False
     # PAD-compacted sequence-gradient scatter (ops/compact_scatter.py): the
     # backward of every (B, T) sequence gather compacts the valid-prefix
     # entries to a static cap and scatters only those — WeChat 7-day
-    # sequences are ~85-90% PAD and the XLA scatter pays per entry.  Exact
-    # at any density (cond ladder falls back to the full scatter).  Pure
-    # XLA (no Mosaic), single-chip path only — the mesh path's collectives
-    # are derived by the partitioner / shard_map and keep the full scatter.
-    compact_grad_scatter: bool = False
+    # sequences are ~85-90% PAD and the XLA scatter pays per entry (DIN
+    # 790k -> 863k ex/s measured, docs/ROADMAP.md round 3).  Exactness at
+    # every density comes from HOST-side dispatch: batches whose *_len
+    # sums overflow the compact buffer run a separately-compiled
+    # plain-scatter step (an in-graph cond would stall the pipeline ~1 ms
+    # on the data-dependent predicate).  Pure XLA (no Mosaic); single-chip
+    # path only — mesh collectives are partitioner/shard_map-derived.
+    compact_grad_scatter: bool = True
     # XLA scoped-VMEM budget for the compiled steps.  The default 16 MB
     # forces the embedding-grad scatter to stream the (106k, 16) table
     # through VMEM in column halves; at 64 MB the whole table stays
@@ -253,33 +247,22 @@ class Trainer:
         )
         return self._update_metrics(eval_state, batch, logits, loss)
 
-    def _lookup_ctx(self, fn):
+    def _lookup_ctx(self, fn, compact: bool = True):
         """Set trace-time embedding-engine modes while jit traces `fn`:
-        the shard_map-exchange mesh, and the single-chip MXU scatter."""
+        the shard_map-exchange mesh, and the compact gradient scatter
+        (``compact=False`` traces the plain-scatter variant for dense
+        batches the host dispatcher routes away from the compact step)."""
         from recalgorithm_tpu.embed import tables as _tables
 
         use_shard_map = self.config.shard_map_embeddings and self.mesh is not None
-        use_fast_scatter = (
-            self.config.fast_embedding_scatter
-            and self.mesh is None
-            # Mosaic kernels lower for TPU only (a GPU backend would fail
-            # to compile them, not merely run slow)
-            and jax.devices()[0].platform == "tpu"
-        )
-        use_compact = (
-            self.config.compact_grad_scatter
-            and self.mesh is None
-            and not use_fast_scatter  # mutually exclusive backward overrides
-        )
-        if not (use_shard_map or use_fast_scatter or use_compact):
+        use_compact = compact and self._use_compact
+        if not (use_shard_map or use_compact):
             return fn
 
         def wrapped(*args):
             with contextlib.ExitStack() as stack:
                 if use_shard_map:
                     stack.enter_context(_tables.shard_map_lookups(self.mesh))
-                if use_fast_scatter:
-                    stack.enter_context(_tables.fast_embedding_scatter(True))
                 if use_compact:
                     stack.enter_context(_tables.compact_grad_scatter(True))
                 return fn(*args)
@@ -287,11 +270,15 @@ class Trainer:
         return wrapped
 
     @property
+    def _use_compact(self) -> bool:
+        return self.config.compact_grad_scatter and self.mesh is None
+
+    @property
     def train_step_fn(self):
         """The train step with trace-time engine modes applied (un-jitted) —
         what _train_jit compiles; benchmark THIS, not _train_step, or the
-        shard_map / fast-scatter paths silently drop out of the measurement
-        (and pass ``compiler_options`` to the benchmark jit)."""
+        shard_map / compact-scatter paths silently drop out of the
+        measurement (and pass ``compiler_options`` to the benchmark jit)."""
         return self._lookup_ctx(self._train_step)
 
     @property
@@ -308,6 +295,15 @@ class Trainer:
             self._train_jit = jax.jit(
                 self.train_step_fn, donate_argnums=donate,
                 compiler_options=opts,
+            )
+            # plain-scatter variant for dense batches (host dispatch; only
+            # compiled if such a batch ever arrives — jit is lazy)
+            self._train_jit_plain = (
+                jax.jit(
+                    self._lookup_ctx(self._train_step, compact=False),
+                    donate_argnums=donate, compiler_options=opts,
+                )
+                if self._use_compact else self._train_jit
             )
             self._eval_jit = jax.jit(
                 self._lookup_ctx(self._eval_step), donate_argnums=(3,),
@@ -328,6 +324,18 @@ class Trainer:
                 compiler_options=opts,
             )
             self._compiled = True
+
+    def _train_step_for(self, host_batch: Mapping[str, np.ndarray]):
+        """Pick the executable for this batch: the compact-scatter step, or
+        the plain-scatter variant when the batch's live sequence entries
+        overflow the compact buffer (host-side check on the *_len columns
+        — no in-graph data-dependent branch)."""
+        if self._use_compact:
+            from recalgorithm_tpu.ops.compact_scatter import batch_fits_compact
+
+            if not batch_fits_compact(host_batch, self.model.schema):
+                return self._train_jit_plain
+        return self._train_jit
 
     def _put_batch(self, batch: Mapping[str, np.ndarray]):
         batch = dict(batch)
@@ -450,9 +458,10 @@ class Trainer:
             state = checkpointer.restore_latest(state)
             # re-feed the first batch unless we resumed past it
             if int(state.step) == 0:
+                step_fn = self._train_step_for(first)
                 batch = self._put_batch(first)
                 rng, sub = jax.random.split(rng)
-                state, _ = self._train_jit(state, batch, sub)
+                state, _ = step_fn(state, batch, sub)
 
         t0 = time.time()
         last_eval_time = time.time()
@@ -463,9 +472,10 @@ class Trainer:
                 hb = next(train_iter)
             except StopIteration:
                 break
+            step_fn = self._train_step_for(hb)
             batch = self._put_batch(hb)
             rng, sub = jax.random.split(rng)
-            state, loss = self._train_jit(state, batch, sub)
+            state, loss = step_fn(state, batch, sub)
             step = int(state.step)
             if step % cfg.log_every == 0 and step != last_log_step:
                 snap = self._metrics_snapshot(state)

@@ -1,6 +1,6 @@
 """PAD-compacted sequence-gradient scatter (ops/compact_scatter.py):
-exactness vs the full XLA scatter at every density, through grad, and
-composed into a real train step."""
+exactness inside the cap contract, the host-side density dispatch that
+keeps dense batches exact, and composition into a real train step."""
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +23,15 @@ def _prefix_ids(rng, b, t, density):
     return np.where(mask, ids, 0).astype(np.int32)
 
 
-@pytest.mark.parametrize("density", [0.0, 0.1, 0.5, 1.0])
-def test_scatter_grad_matches_full(density):
+@pytest.mark.parametrize("density", [0.0, 0.1, 0.2])
+def test_scatter_grad_matches_full_within_cap(density):
+    """Inside the contract (live <= B*T // CAP_DIVISOR) the compact
+    scatter is exact vs the full scatter."""
     rng = np.random.default_rng(0)
     b, t = 64, 20
     ids = jnp.asarray(_prefix_ids(rng, b, t, density))
+    divisor = cs._divisor_for(t)
+    assert int(jnp.sum(cs._live_lens(ids))) <= ids.size // divisor
     g = jnp.asarray(rng.normal(size=(b, t, K)).astype(np.float32))
     g = g * (ids > 0)[..., None]  # engine PAD masking contract
     got = jax.jit(lambda i, gg: cs.scatter_grad(i, gg, V))(ids, g)
@@ -43,9 +47,26 @@ def test_scatter_grad_interior_holes():
     g = jnp.where((ids > 0)[..., None],
                   jnp.arange(2 * 5 * K, dtype=jnp.float32).reshape(2, 5, K),
                   0.0)
-    got = cs.scatter_grad(ids, g, V)
+    got = cs.scatter_grad(ids, g, V, cap_divisor=1)
     want = jnp.zeros((V, K)).at[ids.reshape(-1)].add(g.reshape(-1, K))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_batch_fits_compact_flags_dense_batches():
+    from recalgorithm_tpu.features.schema import wechat_schema
+
+    schema = wechat_schema()
+    seq = schema.sequence[0]
+    b = 4096
+    n = b * seq.max_length
+    assert n >= 16384
+    sparse = {seq.name + "_len": np.full((b,), seq.max_length // 8, np.int32)}
+    dense = {seq.name + "_len": np.full((b,), seq.max_length, np.int32)}
+    assert cs.batch_fits_compact(sparse, schema)
+    assert not cs.batch_fits_compact(dense, schema)
+    # small batches never engage the compact path -> always "fits"
+    small = {seq.name + "_len": np.full((8,), seq.max_length, np.int32)}
+    assert cs.batch_fits_compact(small, schema)
 
 
 def test_take_compact_bwd_grad_equivalence():
@@ -68,15 +89,25 @@ def test_take_compact_bwd_grad_equivalence():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_train_step_matches_plain_scatter(tmp_path, monkeypatch):
-    """DIN one step with compact_grad_scatter on vs off: same loss/params."""
-    from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
-    from recalgorithm_tpu.features.schema import wechat_schema
-    from recalgorithm_tpu.models.din import DIN, DINConfig
+def _make_trainer(tmp_path, gen, schema, cfg, flag, name):
+    from recalgorithm_tpu.models.din import DIN
     from recalgorithm_tpu.train import optimizers
     from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
 
+    model = DIN(config=cfg, schema=schema)
+    return Trainer(
+        model, cfg.task_names, optimizers.build("sgd", 1e-2),
+        TrainerConfig(model_dir=str(tmp_path / name), train_steps=2,
+                      save_checkpoints_steps=0, compact_grad_scatter=flag),
+    )
+
+
+def test_train_step_matches_plain_scatter(tmp_path, monkeypatch):
+    """DIN steps with compact_grad_scatter on vs off: same loss/params."""
+    from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
     from recalgorithm_tpu.embed import tables as tables_mod
+    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.models.din import DINConfig
 
     monkeypatch.setattr(tables_mod, "COMPACT_SCATTER_MIN_IDS", 0)
     gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=5, vocab_scale=0.05))
@@ -84,23 +115,54 @@ def test_train_step_matches_plain_scatter(tmp_path, monkeypatch):
     cfg = DINConfig(batch_size=128)
     results = {}
     for flag in (False, True):
-        model = DIN(config=cfg, schema=schema)
-        trainer = Trainer(
-            model, cfg.task_names, optimizers.build("sgd", 1e-2),
-            TrainerConfig(model_dir=str(tmp_path / str(flag)), train_steps=2,
-                          save_checkpoints_steps=0,
-                          compact_grad_scatter=flag),
-        )
+        trainer = _make_trainer(tmp_path, gen, schema, cfg, flag, str(flag))
         state = trainer.init_state(gen.batch(128, 0))
         trainer._compile()
         for i in range(2):
-            state, loss = trainer._train_jit(
-                state, trainer._put_batch(gen.batch(128, i)),
-                jax.random.key(0, impl="rbg"),
-            )
+            hb = gen.batch(128, i)
+            state, loss = trainer._train_step_for(hb)(
+                state, trainer._put_batch(hb), jax.random.key(0, impl="rbg"))
         results[flag] = (float(loss), state.params)
     assert np.isclose(results[False][0], results[True][0], rtol=1e-5)
     for a, b in zip(jax.tree.leaves(results[False][1]),
                     jax.tree.leaves(results[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_dense_batch_dispatches_to_plain_step(tmp_path, monkeypatch):
+    """A batch whose sequences overflow the compact buffer routes to the
+    plain-scatter executable and still trains exactly."""
+    from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+    from recalgorithm_tpu.embed import tables as tables_mod
+    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.models.din import DINConfig
+
+    monkeypatch.setattr(tables_mod, "COMPACT_SCATTER_MIN_IDS", 0)
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=6, vocab_scale=0.05))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DINConfig(batch_size=64)
+    dense_batch = gen.batch(64, 0)
+    for f in schema.sequence:
+        t = f.max_length
+        rng = np.random.default_rng(1)
+        dense_batch[f.name] = rng.integers(
+            1, 50, size=(64, t)).astype(np.int32)
+        dense_batch[f.name + "_len"] = np.full((64,), t, np.int32)
+
+    trainer = _make_trainer(tmp_path, gen, schema, cfg, True, "dense")
+    state = trainer.init_state(dense_batch)
+    trainer._compile()
+    fn = trainer._train_step_for(dense_batch)
+    assert fn is trainer._train_jit_plain
+    assert trainer._train_step_for(gen.batch(64, 1)) is trainer._train_jit
+
+    # and the plain path really is exact on the dense batch
+    trainer_off = _make_trainer(tmp_path, gen, schema, cfg, False, "off")
+    state_off = trainer_off.init_state(dense_batch)
+    trainer_off._compile()
+    key = jax.random.key(0, impl="rbg")
+    _, loss = fn(state, trainer._put_batch(dense_batch), key)
+    _, loss_off = trainer_off._train_jit(
+        state_off, trainer_off._put_batch(dense_batch), key)
+    assert np.isclose(float(loss), float(loss_off), rtol=1e-6)

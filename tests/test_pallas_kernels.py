@@ -133,35 +133,6 @@ def test_bst_core_module_path_matches_plain():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_bst_block_fused_matches_plain():
-    """Whole-block kernel (fused='block'): forward + all param grads match
-    the plain flax block (interpret mode)."""
-    from recalgorithm_tpu.ops.attention import BSTTransformerBlock
-
-    B, T, d = 128, 51, 16
-    rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
-    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
-    plain = BSTTransformerBlock(3, T)
-    params = plain.init(jax.random.key(0), x, lengths)
-    blockm = BSTTransformerBlock(3, T, fused="block", interpret=True)
-    assert (jax.tree.structure(blockm.init(jax.random.key(0), x, lengths))
-            == jax.tree.structure(params))
-    np.testing.assert_allclose(
-        np.asarray(blockm.apply(params, x, lengths)),
-        np.asarray(plain.apply(params, x, lengths)),
-        rtol=1e-4, atol=1e-5,
-    )
-    g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x, lengths) ** 2))(params)
-    g2 = jax.grad(lambda p: jnp.sum(blockm.apply(p, x, lengths) ** 2))(params)
-    # errors are f32-recompute noise, judged against the dominant grad scale
-    dom = max(float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(g1))
-    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5 * dom
-        )
-
-
 def test_bst_mha_fused_odd_batch():
     """Non-128-multiple batches are padded internally (ADVICE round 1)."""
     from recalgorithm_tpu.ops.pallas.bst_attention import (
@@ -202,60 +173,3 @@ def test_din_fused_odd_batch():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_bst_block_fused_odd_batch():
-    from recalgorithm_tpu.ops.attention import BSTTransformerBlock
-
-    B, T, d = 96, 51, 16
-    rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
-    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
-    plain = BSTTransformerBlock(3, T)
-    params = plain.init(jax.random.key(0), x, lengths)
-    blockm = BSTTransformerBlock(3, T, fused="block", interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(blockm.apply(params, x, lengths)),
-        np.asarray(plain.apply(params, x, lengths)),
-        rtol=1e-4, atol=1e-5,
-    )
-
-
-# ---------------------------------------------------------------------------
-# MXU embedding-gradient scatter
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("dist,K", [("uniform", 16), ("zipf", 16),
-                                    ("padded", 8), ("skew_tail", 16)])
-def test_embed_scatter_matches_xla(dist, K):
-    from recalgorithm_tpu.ops.pallas.embed_scatter import scatter_add_rows
-
-    V, N = 8192, 16384
-    rng = np.random.default_rng(7)
-    if dist == "uniform":
-        ids = rng.integers(0, V - 5, N)
-    elif dist == "zipf":
-        ids = np.minimum(rng.zipf(1.3, N) - 1, V - 5)
-    elif dist == "padded":
-        ids = np.where(rng.random(N) < 0.5, 0, rng.integers(1, V - 5, N))
-    else:  # extreme skew: half the ids at two far ends (exercises the
-        # straddle window and the serial fallback)
-        ids = np.where(rng.random(N) < 0.5, rng.integers(0, 64, N),
-                       rng.integers(V - 64, V, N))
-    ids = np.sort(ids.astype(np.int32))
-    g = rng.normal(size=(N, K)).astype(np.float32)
-    got = np.asarray(scatter_add_rows(
-        jnp.asarray(ids), jnp.asarray(g), V, interpret=True))
-    want = np.zeros((V, K), np.float32)
-    np.add.at(want, ids, g)
-    scale = max(1.0, float(np.abs(want).max()))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5 * scale)
-
-
-def test_embed_scatter_supports_gating():
-    from recalgorithm_tpu.ops.pallas.embed_scatter import supports, MIN_IDS
-
-    assert supports(106496, 16, 204800)        # the feedid sequence case
-    assert supports(100096, 8, 98304)          # the W&D cross case
-    assert not supports(106496, 16, MIN_IDS - 1)   # small N: XLA is fine
-    assert not supports(106496, 40, 204800)    # FFM-width: VMEM too small
-    assert not supports(10**6, 16, 204800)     # table too big for VMEM
