@@ -36,6 +36,8 @@ class BSTConfig(common.TrainFlags):
     num_transformer_heads: int = 3
     pooling_method: str = "sum"  # {'sum', 'mean'}
     use_fused_attention: bool = False  # Pallas MHA core (TPU)
+    save_attn_bf16: bool = False  # bf16 saved attention probs (fused path)
+    kernel_layout_attn: bool = False  # (H,T*d,B)-layout kernel boundary
     mlp_activation: str = "none"  # reference parity; "relu" for standard MLP
     task_names: tuple[str, ...] = ("read_comment",)
 
@@ -63,6 +65,8 @@ class BST(nn.Module):
                 num_heads=cfg.num_transformer_heads,
                 max_length=cfg.sequence_max_length + 1,
                 fused=cfg.use_fused_attention,
+                save_attn_bf16=cfg.save_attn_bf16,
+                kernel_layout=cfg.kernel_layout_attn,
                 name=f"transformer_{i}",
             )(x, lengths + 1)
         if cfg.pooling_method == "sum":

@@ -107,6 +107,11 @@ class BSTTransformerBlock(nn.Module):
     # in round 3 — docs/ROADMAP.md negative results.)
     fused: bool = False
     interpret: bool = False  # run the kernel interpreted (CPU tests)
+    save_attn_bf16: bool = False  # bf16 saved attention probs (fused only)
+    # Produce/consume the Pallas kernel's (H, T*d, B) layout directly from
+    # the projection einsums instead of explicit transposes around the
+    # kernel (fused only): XLA folds the layout change into the dots.
+    kernel_layout: bool = False
 
     @nn.compact
     def __call__(
@@ -129,6 +134,25 @@ class BSTTransformerBlock(nn.Module):
         w_v = self.param("w_v", glorot_uniform, (self.num_heads, d, d))
         w_o = self.param("w_o", glorot_uniform, (self.num_heads * d, d))
 
+        if self.fused and self.kernel_layout:
+            from recalgorithm_tpu.ops.pallas.bst_attention import (
+                bst_mha_fused_t,
+            )
+
+            h_ = self.num_heads
+            qT = jnp.einsum("btk,hkj->htjb", q_in, w_q).reshape(h_, t * d, b)
+            kT = jnp.einsum("btk,hkj->htjb", k_in, w_k).reshape(h_, t * d, b)
+            vT = jnp.einsum("btk,hkj->htjb", x, w_v).reshape(h_, t * d, b)
+            outT = bst_mha_fused_t(qT, kT, vT, lengths, t, self.interpret,
+                                   self.save_attn_bf16)
+            # un-transpose folds into the output projection contraction
+            out = jnp.einsum("htjb,hjm->btm", outT.reshape(h_, t, d, b),
+                             w_o.reshape(h_, d, d))
+            net = nn.LayerNorm(name="ln1")(out + x)
+            ffn = Dense(d, name="ffn")(net)
+            ffn = leakyrelu(ffn)
+            return nn.LayerNorm(name="ln2")(ffn + net)
+
         q = jnp.einsum("btk,hkj->bhtj", q_in, w_q)
         k = jnp.einsum("btk,hkj->bhtj", k_in, w_k)
         v = jnp.einsum("btk,hkj->bhtj", x, w_v)
@@ -139,7 +163,8 @@ class BSTTransformerBlock(nn.Module):
             # XLA lowers the (B*H, T, T) batched tiny matmuls + softmax to
             # thousands of under-filled MXU dispatches (~7ms of BST's step at
             # batch 4096); the kernel keeps the whole core in VMEM.
-            score = bst_mha_fused(q, k, v, lengths, self.interpret)
+            score = bst_mha_fused(q, k, v, lengths, self.interpret,
+                                  self.save_attn_bf16)
         else:
             logits = jnp.einsum("bhik,bhjk->bhij", q, k) / (d**0.5)
             key_mask = sequence_mask(lengths, t)[:, None, None, :]  # (B,1,1,T)

@@ -70,7 +70,10 @@ def _fwd_kernel_save_attn(q_ref, k_ref, v_ref, len_ref, o_ref, attn_ref,
     """Forward that ALSO writes the attention probabilities: the training
     path's backward then skips the O(T^2 d) softmax recompute — cheaper than
     recomputing (~128 MB of f32 HBM traffic round trip at batch 4096 vs
-    ~0.6 ms of VPU work per step; f32 keeps gradient precision)."""
+    ~0.6 ms of VPU work per step).  ``attn_ref``'s dtype picks the
+    precision/traffic trade: f32 is bit-identical to the recompute path;
+    bf16 halves the round trip (probabilities are in [0, 1], so bf16's
+    ~3 decimal digits cost ~1e-3 relative error on the backward only)."""
     tb = q_ref.shape[1]
     scale = 1.0 / (d**0.5)
     k3 = k_ref[:].reshape(t, d, tb)
@@ -83,7 +86,7 @@ def _fwd_kernel_save_attn(q_ref, k_ref, v_ref, len_ref, o_ref, attn_ref,
     def body(i, _):
         attn = row(i)  # (T, TB)
         o_ref[pl.ds(i * d, d), :] = jnp.sum(attn[:, None, :] * v3, axis=0)
-        attn_ref[pl.ds(i * tp, t), :] = attn
+        attn_ref[pl.ds(i * tp, t), :] = attn.astype(attn_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, t, body, 0)
@@ -102,7 +105,7 @@ def _bwd_kernel(
     tp = -(-t // 8) * 8  # matches the forward's 8-aligned stride
 
     def row(i):  # saved in the forward; no softmax recompute
-        return attn_saved_ref[pl.ds(i * tp, t), :]
+        return attn_saved_ref[pl.ds(i * tp, t), :].astype(jnp.float32)
 
     # dk/dv accumulate into the (VMEM-resident) output blocks: carrying two
     # (T, d, TB) accumulators through the fori_loop costs ~200 vector
@@ -167,13 +170,14 @@ def _pick_tile(b: int, max_tile: int = 256) -> int:
     raise ValueError(f"batch {b} must be a multiple of 128")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _bst_mha_core(
     q: jax.Array,        # (B, H, T, d) f32
     k: jax.Array,        # (B, H, T, d) f32
     v: jax.Array,        # (B, H, T, d) f32
     lengths: jax.Array,  # (B,) int32 — valid KEY positions (incl. target slot)
     interpret: bool = False,
+    save_bf16: bool = False,  # backward-only; primal never saves
 ) -> jax.Array:
     b, h, t, d = q.shape
     tile = _pick_tile(b)
@@ -204,10 +208,12 @@ def _bst_mha_core(
     return _from_kernel_layout(outT, b, h, t, d)
 
 
-def _mha_fwd(q, k, v, lengths, interpret):
+def _mha_fwd(q, k, v, lengths, interpret, save_bf16):
     # training path: a 2-output forward also materialises the attention
-    # probabilities (f32) so the backward never recomputes the softmax
+    # probabilities (f32, or bf16 under save_bf16 for half the HBM round
+    # trip) so the backward never recomputes the softmax
     b, h, t, d = q.shape
+    save_dtype = jnp.bfloat16 if save_bf16 else jnp.float32
     tile = _pick_tile(b)
     qT, kT, vT = (_to_kernel_layout(x) for x in (q, k, v))
     lenT = lengths[None, :].astype(jnp.int32)
@@ -230,14 +236,14 @@ def _mha_fwd(q, k, v, lengths, interpret):
         out_specs=(io_spec, attn_spec),
         out_shape=(
             jax.ShapeDtypeStruct((h, t * d, b), jnp.float32),
-            jax.ShapeDtypeStruct((h, t * tp, b), jnp.float32),
+            jax.ShapeDtypeStruct((h, t * tp, b), save_dtype),
         ),
         interpret=interpret,
     )(qT, kT, vT, lenT)
     return _from_kernel_layout(outT, b, h, t, d), (q, k, v, attnT)
 
 
-def _mha_bwd(interpret, res, g):
+def _mha_bwd(interpret, save_bf16, res, g):
     q, k, v, attnT = res
     b, h, t, d = q.shape
     tile = _pick_tile(b, max_tile=128)
@@ -278,12 +284,141 @@ def _mha_bwd(interpret, res, g):
 _bst_mha_core.defvjp(_mha_fwd, _mha_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _bst_mha_core_t(
+    qT: jax.Array,       # (H, T*d, B) f32 — kernel layout, B on lanes
+    kT: jax.Array,
+    vT: jax.Array,
+    lenT: jax.Array,     # (1, B) int32
+    t: int,
+    interpret: bool = False,
+    save_bf16: bool = False,
+) -> jax.Array:
+    """Transposed-operand twin of _bst_mha_core: callers that can PRODUCE
+    the kernel layout directly (the projection einsums emit ``htjb``) skip
+    the explicit (B, H, T, d) <-> (H, T*d, B) HBM copies on all six
+    fwd/bwd tensors — XLA folds the layout into the dots instead."""
+    h, td, b = qT.shape
+    d = td // t
+    tile = _pick_tile(b)
+    io_spec = pl.BlockSpec((1, td, tile), lambda hh, i: (hh, 0, i))
+    specs = [io_spec, io_spec, io_spec,
+             pl.BlockSpec((1, tile), lambda hh, i: (0, i))]
+
+    def kernel(q_ref, k_ref, v_ref, len_ref, o_ref):
+        _fwd_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], len_ref, o_ref.at[0],
+            t=t, d=d,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(h, b // tile),
+        in_specs=specs,
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct((h, td, b), jnp.float32),
+        interpret=interpret,
+    )(qT, kT, vT, lenT)
+
+
+def _mha_t_fwd(qT, kT, vT, lenT, t, interpret, save_bf16):
+    h, td, b = qT.shape
+    d = td // t
+    tile = _pick_tile(b)
+    save_dtype = jnp.bfloat16 if save_bf16 else jnp.float32
+    io_spec = pl.BlockSpec((1, td, tile), lambda hh, i: (hh, 0, i))
+    specs = [io_spec, io_spec, io_spec,
+             pl.BlockSpec((1, tile), lambda hh, i: (0, i))]
+    tp = -(-t // 8) * 8
+    attn_spec = pl.BlockSpec((1, t * tp, tile), lambda hh, i: (hh, 0, i))
+
+    def kernel(q_ref, k_ref, v_ref, len_ref, o_ref, attn_ref):
+        _fwd_kernel_save_attn(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], len_ref, o_ref.at[0],
+            attn_ref.at[0], t=t, d=d,
+        )
+
+    outT, attnT = pl.pallas_call(
+        kernel,
+        grid=(h, b // tile),
+        in_specs=specs,
+        out_specs=(io_spec, attn_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, td, b), jnp.float32),
+            jax.ShapeDtypeStruct((h, t * tp, b), save_dtype),
+        ),
+        interpret=interpret,
+    )(qT, kT, vT, lenT)
+    return outT, (qT, kT, vT, attnT)
+
+
+def _mha_t_bwd(t, interpret, save_bf16, res, g):
+    qT, kT, vT, attnT = res
+    h, td, b = qT.shape
+    d = td // t
+    tile = _pick_tile(b, max_tile=128)
+    tp = -(-t // 8) * 8
+    io_spec = pl.BlockSpec((1, td, tile), lambda hh, i: (hh, 0, i))
+    specs = [
+        io_spec, io_spec, io_spec,
+        pl.BlockSpec((1, t * tp, tile), lambda hh, i: (hh, 0, i)),
+        io_spec,
+    ]
+
+    def kernel(q_ref, k_ref, v_ref, attn_ref, do_ref, dq_ref, dk_ref, dv_ref):
+        _bwd_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], attn_ref.at[0],
+            do_ref.at[0],
+            dq_ref.at[0], dk_ref.at[0], dv_ref.at[0],
+            t=t, d=d,
+        )
+
+    shp = jax.ShapeDtypeStruct((h, td, b), jnp.float32)
+    dqT, dkT, dvT = pl.pallas_call(
+        kernel,
+        grid=(h, b // tile),
+        in_specs=specs,
+        out_specs=(io_spec, io_spec, io_spec),
+        out_shape=(shp, shp, shp),
+        interpret=interpret,
+    )(qT, kT, vT, attnT, g)
+    return dqT, dkT, dvT, None
+
+
+_bst_mha_core_t.defvjp(_mha_t_fwd, _mha_t_bwd)
+
+
+def bst_mha_fused_t(
+    qT: jax.Array,       # (H, T*d, B) f32 — kernel layout
+    kT: jax.Array,
+    vT: jax.Array,
+    lengths: jax.Array,  # (B,) int32
+    t: int,
+    interpret: bool = False,
+    save_bf16: bool = False,
+) -> jax.Array:
+    """Kernel-layout fused BST attention: in AND out are (H, T*d, B).
+
+    Pads the lane (batch) axis to a 128 multiple like bst_mha_fused."""
+    b = qT.shape[-1]
+    lenT = lengths[None, :].astype(jnp.int32)
+    pad = (-b) % 128
+    if pad:
+        qT, kT, vT = (
+            jnp.pad(x, ((0, 0), (0, 0), (0, pad))) for x in (qT, kT, vT)
+        )
+        lenT = jnp.pad(lenT, ((0, 0), (0, pad)), constant_values=1)
+    out = _bst_mha_core_t(qT, kT, vT, lenT, t, interpret, save_bf16)
+    return out[:, :, : b] if pad else out
+
+
 def bst_mha_fused(
     q: jax.Array,        # (B, H, T, d) f32
     k: jax.Array,
     v: jax.Array,
     lengths: jax.Array,  # (B,) int32
     interpret: bool = False,
+    save_bf16: bool = False,
 ) -> jax.Array:
     """Fused BST multi-head attention for any batch size.
 
@@ -291,14 +426,18 @@ def bst_mha_fused(
     multiple of 128 are zero-padded up to one (padded rows get length 1 so
     their softmax stays finite) and sliced back, so any configured
     ``batch_size`` works — padding a 4095-row batch costs one extra tile.
+
+    ``save_bf16`` stores the training forward's saved attention
+    probabilities as bf16 (half the HBM round trip; ~1e-3 relative error on
+    dq/dk/dv only — the primal output is always f32-exact).
     """
     b = q.shape[0]
     pad = (-b) % 128
     if pad == 0:
-        return _bst_mha_core(q, k, v, lengths, interpret)
+        return _bst_mha_core(q, k, v, lengths, interpret, save_bf16)
     padded = [jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0))) for x in (q, k, v)]
     lengths_p = jnp.pad(lengths, (0, pad), constant_values=1)
-    out = _bst_mha_core(*padded, lengths_p, interpret)
+    out = _bst_mha_core(*padded, lengths_p, interpret, save_bf16)
     return out[:b]
 
 

@@ -115,6 +115,38 @@ def test_bst_mha_fused_matches_reference():
                                    rtol=1e-4, atol=1e-5 * max(scale, 1.0))
 
 
+def test_bst_mha_fused_bf16_save_grads_close():
+    """save_bf16 stores attention probs as bf16: primal bit-exact vs the f32
+    path, gradients within bf16 rounding of the reference."""
+    from recalgorithm_tpu.ops.pallas.bst_attention import (
+        bst_mha_fused, mha_reference,
+    )
+
+    B, H, T, d = 128, 3, 51, 16
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
+
+    out_bf = bst_mha_fused(q, k, v, lengths, True, True)
+    out_f32 = bst_mha_fused(q, k, v, lengths, True, False)
+    np.testing.assert_array_equal(np.asarray(out_bf), np.asarray(out_f32))
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(bst_mha_fused(q, k, v, lengths, True, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(mha_reference(q, k, v, lengths) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(gf, gr):
+        scale = float(np.abs(np.asarray(b)).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-2 * max(scale, 1.0))
+
+
 def test_bst_core_module_path_matches_plain():
     from recalgorithm_tpu.ops.attention import BSTTransformerBlock
 
@@ -131,6 +163,44 @@ def test_bst_core_module_path_matches_plain():
     out_f = fused.apply(params, x, lengths)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bst_kernel_layout_matches_plain():
+    """The (H, T*d, B)-layout kernel boundary: same params, same fwd AND
+    grads as the plain module path."""
+    from recalgorithm_tpu.ops.attention import BSTTransformerBlock
+
+    B, T, d = 96, 51, 16  # non-128 batch exercises the lane padding
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(1, T + 1, B, dtype=np.int32))
+    plain = BSTTransformerBlock(3, T)
+    params = plain.init(jax.random.key(0), x, lengths)
+    kl = BSTTransformerBlock(3, T, fused=True, interpret=True,
+                             kernel_layout=True)
+    assert (jax.tree.structure(kl.init(jax.random.key(0), x, lengths))
+            == jax.tree.structure(params))
+    np.testing.assert_allclose(
+        np.asarray(kl.apply(params, x, lengths)),
+        np.asarray(plain.apply(params, x, lengths)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    def loss(mod):
+        def f(p, xx):
+            return jnp.sum(mod.apply(p, xx, lengths) ** 2)
+        return f
+
+    gp, gx_p = jax.grad(loss(plain), argnums=(0, 1))(params, x)
+    gk, gx_k = jax.grad(loss(kl), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_p),
+                               rtol=1e-3, atol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        ),
+        gk, gp,
+    )
 
 
 def test_bst_mha_fused_odd_batch():
