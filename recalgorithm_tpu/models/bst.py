@@ -38,6 +38,7 @@ class BSTConfig(common.TrainFlags):
     use_fused_attention: bool = False  # Pallas MHA core (TPU)
     save_attn_bf16: bool = False  # bf16 saved attention probs (fused path)
     kernel_layout_attn: bool = False  # (H,T*d,B)-layout kernel boundary
+    attn_interpret: bool = False  # run the Pallas kernel interpreted (CPU debug)
     mlp_activation: str = "none"  # reference parity; "relu" for standard MLP
     task_names: tuple[str, ...] = ("read_comment",)
 
@@ -67,6 +68,7 @@ class BST(nn.Module):
                 fused=cfg.use_fused_attention,
                 save_attn_bf16=cfg.save_attn_bf16,
                 kernel_layout=cfg.kernel_layout_attn,
+                interpret=cfg.attn_interpret,
                 name=f"transformer_{i}",
             )(x, lengths + 1)
         if cfg.pooling_method == "sum":

@@ -44,6 +44,7 @@ class DINConfig(common.TrainFlags):
     l2_lambda: float = 0.2
     use_softmax: bool = False
     use_fused_attention: bool = False  # Pallas kernel (TPU; small full-step win)
+    attn_interpret: bool = False  # run the Pallas kernel interpreted (CPU debug)
     task_names: tuple[str, ...] = ("read_comment",)
 
 
@@ -93,6 +94,7 @@ class DIN(nn.Module):
         attention = DINAttention(
             use_softmax=cfg.use_softmax,
             fused=cfg.use_fused_attention,
+            interpret=cfg.attn_interpret,
             name="attention",
         )(target, seq, lengths)
         x = jnp.concatenate([batch["dense"], category, target, attention], axis=-1)

@@ -120,6 +120,33 @@ def test_bf16_model_learns(tmp_path):
     assert ev["loss"] < 0.6
 
 
+def test_fused_bst_flags_train(tmp_path):
+    """The fused-attention BST variants (kernel-layout boundary + bf16 saved
+    probabilities) train through the public config surface alone —
+    attn_interpret runs the Pallas kernels interpreted on CPU."""
+    from recalgorithm_tpu.models.bst import BST, BSTConfig
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=3, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = BSTConfig(batch_size=128, use_fused_attention=True,
+                    save_attn_bf16=True, kernel_layout_attn=True,
+                    attn_interpret=True)
+    model = BST(config=cfg, schema=schema)
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("adam", 1e-3),
+        TrainerConfig(model_dir=str(tmp_path), train_steps=6, log_every=6,
+                      save_checkpoints_steps=0),
+    )
+    state = trainer.init_state(gen.batch(128, 0))
+    trainer._compile()
+    losses = []
+    for i in range(6):
+        b = trainer._put_batch(gen.batch(128, i))
+        state, loss = trainer._train_jit(state, b, jax.random.key(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+
+
 def test_eval_throttle_secs(tmp_path):
     """throttle_secs parity: time-based evals fire during training and the
     best-exporter keeps artifacts."""
