@@ -84,9 +84,9 @@ def run_bench(batch_size: int = 4096) -> dict:
     # reference batch 1024, so report a b1024 TPU number alongside —
     # vs_baseline_b1024 is the apples-to-apples multiple, the headline b4096
     # value is the throughput number (see benchmarks/BATCH_SCALING.md)
-    per_chip_b1024 = _throughput(1024)
+    per_chip_b1024 = per_chip if batch_size == 1024 else _throughput(1024)
     return {
-        "metric": "DIN_train_examples_per_s_per_chip_b4096",
+        "metric": f"DIN_train_examples_per_s_per_chip_b{batch_size}",
         "value": round(per_chip, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(per_chip / TF1_CPU_BASELINE_EXAMPLES_PER_S, 2),

@@ -102,7 +102,9 @@ def step_us(kind) -> float:
 
 
 def main():
-    kinds = sys.argv[1:] or ["plain", "vjp_full", "nocond", "onecond", "ladder"]
+    # ("ladder" — the in-graph cond ladder — was removed in favour of host
+    # dispatch; its measurements live in docs/ROADMAP.md)
+    kinds = sys.argv[1:] or ["plain", "vjp_full", "nocond", "onecond"]
     results = {}
     for kind in kinds:
         t0 = time.time()

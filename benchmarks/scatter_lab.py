@@ -23,11 +23,9 @@ from __future__ import annotations
 
 import functools
 import json
-import sys
-import time
-
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

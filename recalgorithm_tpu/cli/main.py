@@ -187,6 +187,13 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                     drop_remainder=True, max_steps=cfg.train_steps,
                 )
             )
+            if jax.process_count() > 1:
+                # host shards can also yield unequal batch counts here
+                # (row counts differing across hosts + drop_remainder) —
+                # same lock-step termination as the streaming branch
+                from recalgorithm_tpu.parallel import multihost
+
+                train_iter = multihost.synchronized_iterator(train_iter)
         eval_arrays = pipeline.load_dataset(
             args.eval_data, schema, vocabs, limit=args.limit_examples
         )

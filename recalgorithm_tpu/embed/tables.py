@@ -59,9 +59,13 @@ _LOOKUP_MESH = None
 # through ops/compact_scatter.take_compact_bwd: the backward compacts the
 # valid-prefix entries to a static cap-sized buffer and scatters only those
 # — 7-day behaviour sequences are ~85-90% PAD, and the XLA scatter pays per
-# ENTRY whether or not it adds zero.  Exact for any density (a cond'd
-# residual covers overflow).  Pure XLA: works on every backend and
-# composes with jit/grad without Mosaic.
+# ENTRY whether or not it adds zero.  NOT exact on its own for dense
+# batches: entries beyond the cap are dropped, and exactness relies on the
+# HOST dispatcher (Trainer._train_step_for + compact_scatter.
+# batch_fits_compact) routing overflowing batches to a plain-scatter
+# executable — callers jitting train_step_fn directly must do the same or
+# accept the cap contract.  Pure XLA: works on every backend and composes
+# with jit/grad without Mosaic.
 _COMPACT_SCATTER = False
 # below this many ids the full scatter is already cheap and the compaction
 # bookkeeping (cumsum + searchsorted + cap gather) isn't worth its overhead

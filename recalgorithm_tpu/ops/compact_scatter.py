@@ -121,6 +121,16 @@ def _divisor_for(t: int) -> int:
     return CAP_DIVISOR
 
 
+def eligible_seq_features(schema) -> list:
+    """Schema sequence features whose lookups the engine may compact.
+
+    Mirrors the trace-time engine gate (embed/tables.py checks
+    ``ids.shape[-1] >= LONG_SEQ_T`` on the concrete lookup); both sides
+    key off the same LONG_SEQ_T constant so the per-batch host check
+    (``batch_fits_compact``) covers exactly the lookups that compact."""
+    return [f for f in schema.sequence if f.max_length >= LONG_SEQ_T]
+
+
 def scatter_grad(ids, g, num_rows: int,
                  cap_divisor: int | None = None) -> jax.Array:
     """dtable for a (B, T) valid-prefix id batch, scattering only the
@@ -157,9 +167,7 @@ def batch_fits_compact(batch, schema, min_ids: int | None = None) -> bool:
         from recalgorithm_tpu.embed.tables import COMPACT_SCATTER_MIN_IDS
 
         min_ids = COMPACT_SCATTER_MIN_IDS
-    for f in schema.sequence:
-        if f.max_length < LONG_SEQ_T:
-            continue  # short-T lookups never compact (engine gate)
+    for f in eligible_seq_features(schema):
         lens = batch.get(f.name + "_len")
         if lens is None:
             continue

@@ -618,15 +618,21 @@ class _Checkpointer:
             restored = self.mgr.restore(
                 latest, args=ocp.args.StandardRestore(template)
             )
-        except Exception:
+        except Exception as first_err:
             # legacy-layout fallback: restore against the old param paths,
             # then rename back to the current ones (PLE round-1 compat)
             if not _has_dict_keys(template, _LEGACY_PARAM_RENAMES):
                 raise  # no renamable keys -> genuine failure
             legacy = _rename_dict_keys(template, _LEGACY_PARAM_RENAMES)
-            restored = self.mgr.restore(
-                latest, args=ocp.args.StandardRestore(legacy)
-            )
+            try:
+                restored = self.mgr.restore(
+                    latest, args=ocp.args.StandardRestore(legacy)
+                )
+            except Exception:
+                # the checkpoint is neither current- nor legacy-layout:
+                # surface the ORIGINAL failure, not the fallback's
+                # confusing missing-legacy-key error
+                raise first_err
             restored = _rename_dict_keys(
                 restored, {v: k for k, v in _LEGACY_PARAM_RENAMES.items()}
             )
