@@ -98,8 +98,12 @@ class TrainerConfig:
     # every density comes from HOST-side dispatch: batches whose *_len
     # sums overflow the compact buffer run a separately-compiled
     # plain-scatter step (an in-graph cond would stall the pipeline ~1 ms
-    # on the data-dependent predicate).  Pure XLA (no Mosaic); single-chip
-    # path only — mesh collectives are partitioner/shard_map-derived.
+    # on the data-dependent predicate).  Pure XLA (no Mosaic).  Composes
+    # with a single-process mesh (the SPMD partitioner shards the compact
+    # bookkeeping like any other op; tests/test_compact_scatter.py proves
+    # mesh-vs-single equivalence) but not with multi-process runs, where
+    # every host must pick the SAME executable while batch_fits_compact
+    # sees only its local shard (Trainer._use_compact gates this off).
     compact_grad_scatter: bool = True
     # XLA scoped-VMEM budget for the compiled steps.  The default 16 MB
     # forces the embedding-grad scatter to stream the (106k, 16) table
@@ -271,7 +275,17 @@ class Trainer:
 
     @property
     def _use_compact(self) -> bool:
-        return self.config.compact_grad_scatter and self.mesh is None
+        """Compact-scatter engages single-process only: in a multi-process
+        SPMD run every host must execute the SAME program, but the
+        host-side density dispatch (batch_fits_compact) sees only the
+        local batch shard, so hosts could disagree on which executable to
+        run — a program mismatch inside collectives.  Under a
+        single-process mesh the partitioner shards the compact
+        bookkeeping (cumsum / searchsorted / gathers) like any other op;
+        the shard_map lookup exchange, when enabled, takes precedence on
+        the lookups it handles."""
+        return (self.config.compact_grad_scatter
+                and (self.mesh is None or jax.process_count() == 1))
 
     @property
     def train_step_fn(self):

@@ -130,6 +130,51 @@ def test_train_step_matches_plain_scatter(tmp_path, monkeypatch):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the 8-device CPU mesh")
+def test_mesh_train_step_matches_plain_scatter(tmp_path, monkeypatch):
+    """Compact scatter composes with a single-process mesh: the SPMD
+    partitioner shards the compact bookkeeping, and the step matches the
+    plain-scatter mesh step exactly."""
+    from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+    from recalgorithm_tpu.embed import tables as tables_mod
+    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.models.din import DIN, DINConfig
+    from recalgorithm_tpu.parallel import mesh as mesh_lib
+    from recalgorithm_tpu.train import optimizers
+    from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
+
+    monkeypatch.setattr(tables_mod, "COMPACT_SCATTER_MIN_IDS", 0)
+    gen = SyntheticWeChat(wechat_schema(),
+                          SyntheticConfig(seed=5, vocab_scale=0.05))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DINConfig(batch_size=64)
+    mesh = mesh_lib.make_mesh(num_model=2)
+    results = {}
+    for flag in (False, True):
+        model = DIN(config=cfg, schema=schema)
+        trainer = Trainer(
+            model, cfg.task_names, optimizers.build("sgd", 1e-2),
+            TrainerConfig(model_dir=str(tmp_path / str(flag)), train_steps=2,
+                          save_checkpoints_steps=0,
+                          compact_grad_scatter=flag),
+            mesh=mesh,
+        )
+        assert trainer._use_compact is flag  # mesh no longer gates it off
+        state = trainer.init_state(gen.batch(64, 0))
+        trainer._compile()
+        for i in range(2):
+            hb = gen.batch(64, i)
+            state, loss = trainer._train_step_for(hb)(
+                state, trainer._put_batch(hb), jax.random.key(0, impl="rbg"))
+        results[flag] = (float(loss), state.params)
+    assert np.isclose(results[False][0], results[True][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(results[False][1]),
+                    jax.tree.leaves(results[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dense_batch_dispatches_to_plain_step(tmp_path, monkeypatch):
     """A batch whose sequences overflow the compact buffer routes to the
     plain-scatter executable and still trains exactly."""
