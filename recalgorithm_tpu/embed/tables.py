@@ -67,9 +67,6 @@ _LOOKUP_MESH = None
 # accept the cap contract.  Pure XLA: works on every backend and composes
 # with jit/grad without Mosaic.
 _COMPACT_SCATTER = False
-# below this many ids the full scatter is already cheap and the compaction
-# bookkeeping (cumsum + searchsorted + cap gather) isn't worth its overhead
-COMPACT_SCATTER_MIN_IDS = 16384
 
 
 @contextlib.contextmanager
@@ -193,16 +190,17 @@ class EmbeddingCollection(nn.Module):
         emb = self._maybe_sharded_gather(tab, ids)
         if emb is not None:
             return emb
-        if (_COMPACT_SCATTER and ids.ndim == 2
-                and ids.size >= COMPACT_SCATTER_MIN_IDS):
+        if _COMPACT_SCATTER and ids.ndim == 2:
             from recalgorithm_tpu.ops import compact_scatter as cs
 
             # long sequences only: short-T lookups (tag lists, crosses)
             # run ~25%+ live and their narrow-row compaction gathers cost
             # more than the scatter they save (W&D 652k -> 612k ex/s
             # measured with the cross compacted; 7-day sequences at T=50
-            # gain +11%)
-            if ids.shape[-1] >= cs.LONG_SEQ_T:
+            # gain +11%).  Gate constants live in compact_scatter so the
+            # host-side density check reads the same values.
+            if (ids.size >= cs.MIN_IDS
+                    and ids.shape[-1] >= cs.LONG_SEQ_T):
                 return cs.take_compact_bwd(tab, ids)
         return jnp.take(tab, ids, axis=0, mode="clip")
 

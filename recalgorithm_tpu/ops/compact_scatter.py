@@ -115,6 +115,11 @@ def _full_scatter(ids, g, num_rows: int) -> jax.Array:
 # cross compacted).
 CAP_DIVISOR = 4
 LONG_SEQ_T = 32
+# below this many ids the full scatter is already cheap and the compaction
+# bookkeeping (cumsum + searchsorted + cap gather) isn't worth its
+# overhead.  Lives here with the other gate constants — the engine
+# (embed/tables.py) and the host check below read the SAME values.
+MIN_IDS = 16384
 
 
 def _divisor_for(t: int) -> int:
@@ -159,18 +164,29 @@ def batch_fits_compact(batch, schema, min_ids: int | None = None) -> bool:
     take_compact_bwd draws its ids from a schema sequence feature (or a
     hashed cross of one, whose live length is <= the underlying
     feature's), so checking sum(lens) <= B*T // cap_divisor for every
-    sequence feature bounds them all.
+    sequence feature bounds them all.  A batch without a ``*_len`` column
+    (custom feeders only ship one when a model consumes it) falls back to
+    counting live prefixes from the id array itself — the engine still
+    compacts that lookup, so the overflow check must still cover it.
     """
     import numpy as np
 
     if min_ids is None:
-        from recalgorithm_tpu.embed.tables import COMPACT_SCATTER_MIN_IDS
-
-        min_ids = COMPACT_SCATTER_MIN_IDS
+        min_ids = MIN_IDS
     for f in eligible_seq_features(schema):
         lens = batch.get(f.name + "_len")
         if lens is None:
-            continue
+            ids = batch.get(f.name)
+            if ids is None:
+                continue  # feature absent: the engine gets no lookup
+            a = np.asarray(ids)
+            # live length = (highest position with id > 0) + 1, matching
+            # _live_lens — interior holes stay inside the walked range
+            lens = np.where(
+                np.any(a > 0, axis=1),
+                a.shape[1] - np.argmax((a > 0)[:, ::-1], axis=1),
+                0,
+            )
         n = np.asarray(lens).shape[0] * f.max_length
         if (n >= min_ids
                 and int(np.sum(lens)) > n // _divisor_for(f.max_length)):

@@ -78,20 +78,42 @@ def global_batch(
     return out
 
 
-def synchronized_iterator(it, reduce_min=None):
+def agreed_flag(flag: bool) -> bool:
+    """Process-0's flag, agreed by EVERY process (collective broadcast).
+
+    For decisions that must be identical across hosts but derive from
+    host-local state (wall clocks drift: the eval_throttle_secs trigger
+    firing on step N on one host and N+1 on another would diverge the
+    per-step programs inside collectives).  Every process must call this
+    at the same point in its step sequence."""
+    from jax.experimental import multihost_utils
+
+    return bool(
+        multihost_utils.broadcast_one_to_all(np.asarray(flag, np.int32))
+    )
+
+
+def synchronized_iterator(it, reduce_min=None, window: int = 8):
     """Lock-step end-of-data coordination for per-host input streams.
 
     Streaming inputs give each host a disjoint strided set of file chunks
     (data/pipeline.stream_batches), so hosts can run out of data at
     DIFFERENT batch counts when the file tail does not divide evenly.  A
     host that silently leaves the train loop while the others still enter
-    the collective step hangs the job.  This wrapper all-reduces a
-    have-data flag before yielding each batch and stops EVERY host as soon
-    as ANY host is exhausted — the global step count is min over hosts.
+    the collective step hangs the job.
 
-    ``reduce_min`` (flag -> global min) is injectable for tests; the
-    default all-gathers the flag across processes.  Single-process: a
-    transparent passthrough (no collective, no overhead).
+    Coordination is per WINDOW of ``window`` batches, not per batch: each
+    host buffers up to ``window`` items, all-reduces how many it holds,
+    and every host yields exactly the global-minimum count — one blocking
+    DCN round trip per window instead of per step (end-of-data happens
+    once per run; a per-next() allgather would tax the steady-state host
+    path the prefetcher cannot hide).  Hosts holding more than the global
+    minimum drop the excess — an end-of-data tail of < ``window`` batches,
+    mirroring drop_remainder.  Host RAM: ``window`` batches buffered.
+
+    ``reduce_min`` (local count -> global min) is injectable for tests;
+    the default all-gathers across processes.  Single-process: a
+    transparent passthrough (no collective, no buffering).
     """
     it = iter(it)
     if reduce_min is None:
@@ -99,20 +121,22 @@ def synchronized_iterator(it, reduce_min=None):
             yield from it
             return
 
-        def reduce_min(flag: int) -> int:
+        def reduce_min(count: int) -> int:
             from jax.experimental import multihost_utils
 
-            flags = multihost_utils.process_allgather(
-                np.asarray(flag, np.int32)
+            counts = multihost_utils.process_allgather(
+                np.asarray(count, np.int32)
             )
-            return int(np.min(flags))
+            return int(np.min(counts))
 
     while True:
-        try:
-            item = next(it)
-            have = 1
-        except StopIteration:
-            item, have = None, 0
-        if reduce_min(have) == 0:
+        buf = []
+        for _ in range(window):
+            try:
+                buf.append(next(it))
+            except StopIteration:
+                break
+        m = reduce_min(len(buf))
+        yield from buf[:m]
+        if m < window:
             return
-        yield item

@@ -411,6 +411,28 @@ class Trainer:
             out[f"{task}_accuracy"] = float(M.mean_compute(tm.acc))
         return out
 
+    def _time_eval_due(self, step: int, last_eval_time: float) -> bool:
+        """Whether the wall-clock eval throttle fires at this step.
+
+        Multi-process: wall clocks drift across hosts, and a throttle
+        firing on step N on one host but N+1 on another diverges the
+        per-step programs inside collectives (host A enters eval's
+        collectives while host B dispatches the next train step).  So the
+        check runs at a fixed step cadence — every host reaches the same
+        steps — and process 0's clock decides for everyone via a
+        broadcast."""
+        cfg = self.config
+        if not cfg.eval_throttle_secs:
+            return False
+        local_due = time.time() - last_eval_time >= cfg.eval_throttle_secs
+        if jax.process_count() == 1:
+            return local_due
+        if step % cfg.log_every != 0:
+            return False
+        from recalgorithm_tpu.parallel import multihost
+
+        return multihost.agreed_flag(local_due)
+
     # -- public API ----------------------------------------------------------
 
     def evaluate(
@@ -509,10 +531,7 @@ class Trainer:
             if cfg.save_checkpoints_steps and step % cfg.save_checkpoints_steps == 0:
                 checkpointer.save(state)
             due_steps = cfg.eval_every_steps and step % cfg.eval_every_steps == 0
-            due_time = (
-                cfg.eval_throttle_secs
-                and time.time() - last_eval_time >= cfg.eval_throttle_secs
-            )
+            due_time = self._time_eval_due(step, last_eval_time)
             if eval_batches_fn is not None and (due_steps or due_time):
                 ev = self.evaluate(state, eval_batches_fn())
                 last_eval_time = time.time()

@@ -69,6 +69,23 @@ def test_batch_fits_compact_flags_dense_batches():
     assert cs.batch_fits_compact(small, schema)
 
 
+def test_batch_fits_compact_without_len_column():
+    """A feeder that ships no '*_len' column still gets overflow
+    protection: live lengths are counted from the id array itself."""
+    from recalgorithm_tpu.features.schema import wechat_schema
+
+    schema = wechat_schema()
+    seq = schema.sequence[0]
+    b, t = 4096, seq.max_length
+    rng = np.random.default_rng(0)
+    dense_ids = rng.integers(1, 100, size=(b, t)).astype(np.int32)
+    sparse_ids = np.where(np.arange(t)[None, :] < 3, dense_ids, 0)
+    assert not cs.batch_fits_compact({seq.name: dense_ids}, schema)
+    assert cs.batch_fits_compact({seq.name: sparse_ids}, schema)
+    # feature entirely absent -> no lookup to bound
+    assert cs.batch_fits_compact({}, schema)
+
+
 def test_take_compact_bwd_grad_equivalence():
     rng = np.random.default_rng(1)
     b, t = 128, 16
@@ -105,11 +122,10 @@ def _make_trainer(tmp_path, gen, schema, cfg, flag, name):
 def test_train_step_matches_plain_scatter(tmp_path, monkeypatch):
     """DIN steps with compact_grad_scatter on vs off: same loss/params."""
     from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
-    from recalgorithm_tpu.embed import tables as tables_mod
     from recalgorithm_tpu.features.schema import wechat_schema
     from recalgorithm_tpu.models.din import DINConfig
 
-    monkeypatch.setattr(tables_mod, "COMPACT_SCATTER_MIN_IDS", 0)
+    monkeypatch.setattr(cs, "MIN_IDS", 0)
     gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=5, vocab_scale=0.05))
     schema = wechat_schema(gen.vocab_sizes())
     cfg = DINConfig(batch_size=128)
@@ -137,14 +153,13 @@ def test_mesh_train_step_matches_plain_scatter(tmp_path, monkeypatch):
     partitioner shards the compact bookkeeping, and the step matches the
     plain-scatter mesh step exactly."""
     from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
-    from recalgorithm_tpu.embed import tables as tables_mod
     from recalgorithm_tpu.features.schema import wechat_schema
     from recalgorithm_tpu.models.din import DIN, DINConfig
     from recalgorithm_tpu.parallel import mesh as mesh_lib
     from recalgorithm_tpu.train import optimizers
     from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
 
-    monkeypatch.setattr(tables_mod, "COMPACT_SCATTER_MIN_IDS", 0)
+    monkeypatch.setattr(cs, "MIN_IDS", 0)
     gen = SyntheticWeChat(wechat_schema(),
                           SyntheticConfig(seed=5, vocab_scale=0.05))
     schema = wechat_schema(gen.vocab_sizes())
@@ -179,11 +194,10 @@ def test_dense_batch_dispatches_to_plain_step(tmp_path, monkeypatch):
     """A batch whose sequences overflow the compact buffer routes to the
     plain-scatter executable and still trains exactly."""
     from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
-    from recalgorithm_tpu.embed import tables as tables_mod
     from recalgorithm_tpu.features.schema import wechat_schema
     from recalgorithm_tpu.models.din import DINConfig
 
-    monkeypatch.setattr(tables_mod, "COMPACT_SCATTER_MIN_IDS", 0)
+    monkeypatch.setattr(cs, "MIN_IDS", 0)
     gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=6, vocab_scale=0.05))
     schema = wechat_schema(gen.vocab_sizes())
     cfg = DINConfig(batch_size=64)

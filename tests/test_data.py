@@ -193,23 +193,28 @@ def test_synchronized_iterator_stops_all_hosts_together():
     the lock-step loop early deadlocks the others in collectives)."""
     from recalgorithm_tpu.parallel.multihost import synchronized_iterator
 
-    # simulate 2 hosts: host0 has 5 batches, host1 has 3
+    # simulate 2 hosts: host0 has 5 batches, host1 has 3; coordination is
+    # per window of 2, so per-window buffered counts are [2,2,1] vs [2,1]
     flags: dict[int, list[int]] = {0: [], 1: []}
+    per_window = {0: [2, 2, 1], 1: [2, 1]}
 
     def make_reduce(host):
-        def reduce_min(flag):
-            flags[host].append(flag)
-            # lock-step: both hosts are at the same call index
+        def reduce_min(count):
+            flags[host].append(count)
+            # lock-step: both hosts are at the same window index
             i = len(flags[host]) - 1
-            other = 1 - host
-            other_flag = 1 if i < (3 if other == 1 else 5) else 0
-            return min(flag, other_flag)
+            other = per_window[1 - host]
+            return min(count, other[i] if i < len(other) else 0)
         return reduce_min
 
-    out0 = list(synchronized_iterator(iter(range(5)), make_reduce(0)))
-    out1 = list(synchronized_iterator(iter(range(3)), make_reduce(1)))
+    out0 = list(synchronized_iterator(iter(range(5)), make_reduce(0),
+                                      window=2))
+    out1 = list(synchronized_iterator(iter(range(3)), make_reduce(1),
+                                      window=2))
     assert out0 == [0, 1, 2]  # truncated to the global min (3)
     assert out1 == [0, 1, 2]
+    # one collective per WINDOW, not per batch
+    assert flags[0] == [2, 2] and flags[1] == [2, 1]
 
 
 def test_synchronized_iterator_single_process_passthrough():

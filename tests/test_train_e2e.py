@@ -169,6 +169,38 @@ def test_eval_throttle_secs(tmp_path):
     assert os.path.isdir(os.path.join(str(tmp_path), "export"))
 
 
+def test_eval_throttle_multiprocess_agreement(tmp_path, monkeypatch):
+    """Multi-process time-based evals must fire on the SAME step on every
+    host: the decision runs only at the log_every cadence and goes through
+    the agreed_flag broadcast (process 0's clock decides) — a host-local
+    clock check could diverge the per-step programs inside collectives."""
+    from recalgorithm_tpu.parallel import multihost
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=3, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepCrossingConfig(batch_size=64)
+    model = DeepCrossing(config=cfg, schema=schema)
+    trainer = Trainer(
+        model, cfg.task_names, optimizers.build("adam", 0.005),
+        TrainerConfig(model_dir=str(tmp_path), train_steps=10, log_every=5,
+                      save_checkpoints_steps=0, eval_throttle_secs=1e-6),
+    )
+    calls = []
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost, "agreed_flag",
+                        lambda flag: calls.append(flag) or flag)
+    # off-cadence step: no decision, and crucially no collective
+    assert trainer._time_eval_due(7, last_eval_time=0.0) is False
+    assert calls == []
+    # on-cadence step: process-0's (elapsed) verdict via the broadcast
+    assert trainer._time_eval_due(10, last_eval_time=0.0) is True
+    assert calls == [True]
+    # single-process keeps the plain local check on every step
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    assert trainer._time_eval_due(7, last_eval_time=0.0) is True
+    assert calls == [True]
+
+
 def test_model_summaries_collection(tmp_path):
     """Gate-weight / kernel summaries flow: sow -> TrainState -> JSONL.
 
