@@ -1,6 +1,7 @@
 """Model zoo: importing this package populates the registry.
 
-16 reference models + ESMM (listed-but-unimplemented in the reference).
+16 reference models + ESMM (listed-but-unimplemented in the reference)
++ beyond-reference additions (DCNv2, AutoInt).
 Use ``recalgorithm_tpu.models.get_model(name)`` for (config_cls, model_cls).
 """
 
@@ -9,8 +10,10 @@ from recalgorithm_tpu.models.common import MODEL_REGISTRY, get_model, register_m
 # import order is alphabetical-ish; each module registers itself
 from recalgorithm_tpu.models import (  # noqa: F401
     afm,
+    autoint,
     bst,
     dcn,
+    dcn_v2,
     deep_crossing,
     deepfm,
     dien,

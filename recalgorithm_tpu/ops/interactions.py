@@ -271,3 +271,71 @@ class BilinearInteraction(nn.Module):
         raise ValueError(
             f"interaction_type must be all/each/interaction, got {self.interaction_type!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference interaction ops (the reference stops at DCN v1 / no
+# attention-interaction model): DCN-v2 cross and AutoInt field attention.
+# ---------------------------------------------------------------------------
+
+class CrossNetworkV2(nn.Module):
+    """DCN-v2 cross stack: ``x_{l+1} = x0 * (W_l x_l + b_l) + x_l``.
+
+    Beyond-reference addition — the reference implements only the v1 rank-1
+    cross (cross_layer.py:4-26, CrossNetwork above); this is the full-matrix
+    formulation of Wang et al. 2021 (arXiv:2008.13535).  ``low_rank r > 0``
+    factorises ``W_l = U_l V_l^T``: two thin (d, r) MXU matmuls instead of
+    one (d, d) — the paper's DCN-Mix building block, and the TPU-friendly
+    choice once d outgrows a few hundred.
+    """
+
+    num_layers: int
+    low_rank: int = 0
+
+    @nn.compact
+    def __call__(self, x0: jax.Array) -> jax.Array:  # (B, d)
+        d = x0.shape[-1]
+        xl = x0
+        for layer in range(self.num_layers):
+            if self.low_rank > 0:
+                u = self.param(f"u_{layer}", glorot_uniform, (d, self.low_rank))
+                v = self.param(f"v_{layer}", glorot_uniform, (d, self.low_rank))
+                w_xl = (xl @ v) @ u.T
+            else:
+                w = self.param(f"w_{layer}", glorot_uniform, (d, d))
+                w_xl = xl @ w
+            b = self.param(f"b_{layer}", nn.initializers.zeros, (d,))
+            xl = x0 * (w_xl + b) + xl
+        return xl
+
+
+class InteractingLayer(nn.Module):
+    """AutoInt multi-head self-attention over FIELDS (not positions).
+
+    Beyond-reference addition, Song et al. 2019 (arXiv:1810.11921 §3.4):
+    per head h, score(f, g) = <W_q e_f, W_k e_g> (unscaled inner product,
+    as in the paper), softmax over g, heads concatenated, plus a residual
+    projection and relu.  One batched einsum chain over the (B, F, K)
+    field tensor — F is tiny (<= 16), so the whole layer is a handful of
+    MXU matmuls plus an (F, F) softmax.
+    """
+
+    num_heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, F, K) -> (B, F, H*d)
+        h, d = self.num_heads, self.head_dim
+        k_in = x.shape[-1]
+        wq = self.param("w_query", glorot_uniform, (k_in, h * d))
+        wk = self.param("w_key", glorot_uniform, (k_in, h * d))
+        wv = self.param("w_value", glorot_uniform, (k_in, h * d))
+        wr = self.param("w_res", glorot_uniform, (k_in, h * d))
+        b, f = x.shape[0], x.shape[1]
+        q = (x @ wq).reshape(b, f, h, d)
+        k = (x @ wk).reshape(b, f, h, d)
+        v = (x @ wv).reshape(b, f, h, d)
+        scores = jnp.einsum("bfhd,bghd->bhfg", q, k, precision=_HI)
+        att = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhfg,bghd->bfhd", att, v, precision=_HI)
+        return nn.relu(out.reshape(b, f, h * d) + x @ wr)

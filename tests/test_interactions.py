@@ -218,3 +218,52 @@ def test_gate_mixture_is_convex_combination():
     lo = np.asarray(experts).min(axis=1) - 1e-5
     hi = np.asarray(experts).max(axis=1) + 1e-5
     assert np.all(mixed >= lo) and np.all(mixed <= hi)
+
+
+def test_cross_network_v2_formula():
+    """DCN-v2 (beyond-reference): x_{l+1} = x0 * (W x_l + b) + x_l, both
+    full-rank and low-rank factorised."""
+    d = 6
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    # full-rank
+    net = I.CrossNetworkV2(num_layers=2)
+    params = net.init(jax.random.key(0), x0)
+    got = np.asarray(net.apply(params, x0))
+    p = jax.tree.map(np.asarray, params["params"])
+    xl = np.asarray(x0)
+    for layer in range(2):
+        xl = np.asarray(x0) * (xl @ p[f"w_{layer}"] + p[f"b_{layer}"]) + xl
+    np.testing.assert_allclose(got, xl, rtol=1e-5, atol=1e-5)
+    # low-rank: W = U V^T
+    net = I.CrossNetworkV2(num_layers=1, low_rank=3)
+    params = net.init(jax.random.key(1), x0)
+    got = np.asarray(net.apply(params, x0))
+    p = jax.tree.map(np.asarray, params["params"])
+    want = np.asarray(x0) * (np.asarray(x0) @ p["v_0"] @ p["u_0"].T + p["b_0"]) + np.asarray(x0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_interacting_layer_oracle(field_emb):
+    """AutoInt (beyond-reference): per-head softmax field attention with
+    residual projection, against an explicit per-head numpy loop."""
+    h, d = 2, 3
+    layer = I.InteractingLayer(num_heads=h, head_dim=d)
+    params = layer.init(jax.random.key(0), field_emb)
+    got = np.asarray(layer.apply(params, field_emb))
+    p = jax.tree.map(np.asarray, params["params"])
+    x = np.asarray(field_emb)
+    outs = []
+    for head in range(h):
+        sl = slice(head * d, (head + 1) * d)
+        q = x @ p["w_query"][:, sl]   # (B, F, d)
+        k = x @ p["w_key"][:, sl]
+        v = x @ p["w_value"][:, sl]
+        scores = np.einsum("bfd,bgd->bfg", q, k)
+        e = np.exp(scores - scores.max(axis=-1, keepdims=True))
+        att = e / e.sum(axis=-1, keepdims=True)
+        outs.append(np.einsum("bfg,bgd->bfd", att, v))
+    want = np.concatenate(outs, axis=-1) + x @ p["w_res"]
+    want = np.maximum(want, 0.0)
+    assert got.shape == (B, F, h * d)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
