@@ -169,6 +169,55 @@ def test_eval_throttle_secs(tmp_path):
     assert os.path.isdir(os.path.join(str(tmp_path), "export"))
 
 
+def test_sigterm_saves_checkpoint_and_stops(tmp_path):
+    """Preemption safety: SIGTERM mid-training finishes the in-flight
+    step, saves a checkpoint, skips the final eval, and a restarted run
+    resumes from the saved step."""
+    import signal
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=3, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepCrossingConfig(batch_size=64)
+
+    def make_trainer():
+        model = DeepCrossing(config=cfg, schema=schema)
+        return Trainer(
+            model, cfg.task_names, optimizers.build("adam", 0.005),
+            TrainerConfig(model_dir=str(tmp_path), train_steps=50,
+                          log_every=1000, save_checkpoints_steps=0),
+        )
+
+    def batches_then_sigterm(n_before):
+        for i in range(50):
+            if i == n_before:
+                # delivered to this (main) thread between steps, exactly
+                # like a preemption notice landing mid-run
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield gen.batch(64, i)
+
+    logs = []
+    trainer = make_trainer()
+    state, ev = trainer.train_and_evaluate(
+        batches_then_sigterm(5),
+        lambda: gen.batches(64, 2, start_seed=5000),
+        log_fn=logs.append,
+    )
+    stopped_at = int(state.step)
+    assert stopped_at < 20, stopped_at  # stopped long before train_steps=50
+    assert ev == {}  # final eval skipped
+    assert any("SIGTERM" in m for m in logs), logs
+    # the default handler is restored (not our lambda)
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+    # restart resumes from the saved checkpoint and completes normally
+    trainer2 = make_trainer()
+    state2, ev2 = trainer2.train_and_evaluate(
+        gen.batches(64, 50, start_seed=100),
+        lambda: gen.batches(64, 2, start_seed=5000),
+    )
+    assert int(state2.step) == 50
+    assert "read_comment_auc" in ev2
+
+
 def test_eval_throttle_multiprocess_agreement(tmp_path, monkeypatch):
     """Multi-process time-based evals must fire on the SAME step on every
     host: the decision runs only at the log_every cadence and goes through
