@@ -18,6 +18,7 @@ from recalgorithm_tpu.models import (  # noqa: F401
     deepfm,
     dien,
     din,
+    dlrm,
     esmm,
     ffm,
     fibinet,
