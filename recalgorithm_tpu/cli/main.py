@@ -225,7 +225,13 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             model_cls.wide_param_predicate,
         )
     else:
-        optimizer = optimizers.build(opt_name, cfg.learning_rate)
+        lr = optimizers.make_schedule(
+            cfg.learning_rate,
+            schedule=getattr(cfg, "lr_schedule", "constant"),
+            warmup_steps=getattr(cfg, "warmup_steps", 0),
+            decay_steps=getattr(cfg, "decay_steps", 0),
+        )
+        optimizer = optimizers.build(opt_name, lr)
 
     mesh = None
     if not args.no_mesh and len(jax.devices()) > 1:

@@ -68,6 +68,12 @@ class TrainFlags:
     batch_size: int = 1024
     learning_rate: float = 0.005
     optimizer: str = "adam"
+    # LR schedule (beyond reference — fixed LR upstream): 'constant',
+    # 'cosine' or 'exponential', with linear warmup over warmup_steps;
+    # see train/optimizers.make_schedule
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 0
     train_steps: int = 10000
     num_epochs: int = 1
     shuffle_buffer_size: int = 10000

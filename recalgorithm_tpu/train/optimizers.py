@@ -118,11 +118,16 @@ def lazy_adam(
             grads, state.nu,
         )
 
+        # schedules are evaluated at the 0-based pre-increment step,
+        # matching optax.scale_by_schedule
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
+
         def step(g, mu, nu):
             cf = cnt_new.astype(g.dtype)
             mu_hat = mu / (1 - b1**cf)
             nu_hat = nu / (1 - b2**cf)
-            s = -learning_rate * mu_hat / (jnp.sqrt(nu_hat) + eps)
+            s = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
             return jnp.where(g != 0, s, 0.0)
 
         updates = jax.tree.map(step, grads, mu_new, nu_new)
@@ -162,9 +167,57 @@ def maybe_fuse(tx: optax.GradientTransformation, mesh=None) -> optax.GradientTra
     return optax.flatten(tx)
 
 
-def build(name: str, learning_rate: float, **kwargs) -> optax.GradientTransformation:
-    """Optimizer factory with the reference's names and defaults."""
+def make_schedule(
+    learning_rate: float,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+    end_lr_factor: float = 0.01,
+):
+    """LR schedule factory (beyond reference — the reference trains at a
+    fixed LR only).  Returns a float for 'constant' with no warmup (keeps
+    the optimizer state scalar-free) or an optax schedule otherwise.
+
+      constant     flat LR (optionally after linear warmup)
+      cosine       cosine decay to end_lr_factor * lr over decay_steps
+      exponential  x0.1 every decay_steps (staircase off)
+
+    Warmup ramps linearly from 0 over ``warmup_steps`` and composes with
+    any of the above.
+    """
+    schedule = schedule.lower()
+    if schedule == "constant":
+        if warmup_steps <= 0:
+            return learning_rate
+        body = optax.constant_schedule(learning_rate)
+    elif schedule == "cosine":
+        if decay_steps <= 0:
+            raise ValueError("cosine schedule requires decay_steps > 0")
+        body = optax.cosine_decay_schedule(
+            learning_rate, decay_steps, alpha=end_lr_factor
+        )
+    elif schedule == "exponential":
+        if decay_steps <= 0:
+            raise ValueError("exponential schedule requires decay_steps > 0")
+        body = optax.exponential_decay(learning_rate, decay_steps, 0.1)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        return optax.join_schedules([warmup, body], [warmup_steps])
+    return body
+
+
+def build(name: str, learning_rate, **kwargs) -> optax.GradientTransformation:
+    """Optimizer factory with the reference's names and defaults.
+
+    ``learning_rate`` may be a float or an optax schedule (callable) for
+    the optax-backed optimizers and lazyadam; ftrl's closed form bakes
+    alpha into its accumulators and supports floats only.
+    """
     name = name.lower()
+    if callable(learning_rate) and name == "ftrl":
+        raise ValueError("ftrl supports a constant learning rate only")
     if name == "adam":
         return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
     if name == "adagrad":

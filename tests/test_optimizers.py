@@ -106,3 +106,50 @@ def test_dual_wide_deep_routes_by_path():
     np.testing.assert_allclose(np.asarray(updates["deep_w"]), [-0.1], rtol=1e-6)
     # wide side: FTRL replaces the weight (update != -lr*g)
     assert abs(float(updates["wide_w"][0]) + 0.5) > 1e-3
+
+
+def test_make_schedule_shapes_and_values():
+    """Schedule factory (beyond reference): warmup ramp, cosine tail,
+    exponential staircase-free decay, ftrl's constant-only contract."""
+    import pytest
+
+    # constant without warmup stays a plain float (scalar-free opt state)
+    assert optimizers.make_schedule(0.01) == 0.01
+    # warmup: 0 -> lr linearly over warmup_steps, then flat
+    s = optimizers.make_schedule(0.01, "constant", warmup_steps=10)
+    np.testing.assert_allclose(float(s(0)), 0.0, atol=1e-9)
+    np.testing.assert_allclose(float(s(5)), 0.005, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 0.01, rtol=1e-6)
+    # cosine: lr at 0, end_lr_factor*lr at decay_steps
+    s = optimizers.make_schedule(0.01, "cosine", decay_steps=100)
+    np.testing.assert_allclose(float(s(0)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 0.0001, rtol=1e-4)
+    # warmup + cosine: peak at the warmup boundary
+    s = optimizers.make_schedule(0.01, "cosine", warmup_steps=10,
+                                 decay_steps=100)
+    np.testing.assert_allclose(float(s(10)), 0.01, rtol=1e-6)
+    assert float(s(60)) < 0.01
+    # exponential: x0.1 per decay_steps
+    s = optimizers.make_schedule(0.01, "exponential", decay_steps=50)
+    np.testing.assert_allclose(float(s(50)), 0.001, rtol=1e-5)
+    with pytest.raises(ValueError):
+        optimizers.make_schedule(0.01, "cosine")  # needs decay_steps
+    with pytest.raises(ValueError):
+        optimizers.build("ftrl", optimizers.make_schedule(
+            0.01, "constant", warmup_steps=5))
+
+
+def test_lazy_adam_accepts_schedule():
+    """LazyAdam with a schedule: step 0 under warmup -> zero update even
+    at nonzero-grad coordinates; later steps step normally."""
+    sched = optimizers.make_schedule(0.01, "constant", warmup_steps=2)
+    tx = optimizers.build("lazyadam", sched)
+    p = {"w": jnp.asarray([1.0, 2.0])}
+    st = tx.init(p)
+    g = {"w": jnp.asarray([0.5, 0.0])}
+    up, st = tx.update(g, st, p)
+    np.testing.assert_allclose(np.asarray(up["w"]), [0.0, 0.0], atol=1e-9)
+    up, st = tx.update(g, st, p)
+    assert float(up["w"][0]) < 0.0      # warmup ramp engaged
+    assert float(up["w"][1]) == 0.0     # lazy: untouched coordinate
