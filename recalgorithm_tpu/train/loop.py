@@ -126,6 +126,12 @@ class TrainerConfig:
     # the save-side half it lacked.  Handler installs only in the main
     # thread (signal module restriction); elsewhere the flag is a no-op.
     handle_sigterm: bool = True
+    # Gradient accumulation (beyond reference): apply the optimizer every k
+    # micro-batches with the mean of their gradients — an effective batch of
+    # k * batch_size without the HBM for it.  optax.MultiSteps wraps the
+    # optimizer; each call still runs metrics/loss on its micro-batch, and
+    # `step` counts micro-batches (train_steps budgets micro-batches too).
+    grad_accum_steps: int = 1
 
 
 class Trainer:
@@ -144,6 +150,10 @@ class Trainer:
         self.tx = (
             _opt.maybe_fuse(optimizer, mesh) if config.fuse_optimizer else optimizer
         )
+        if config.grad_accum_steps > 1:
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=config.grad_accum_steps
+            ).gradient_transformation()
         self.config = config
         self.mesh = mesh
         self._compiled = None

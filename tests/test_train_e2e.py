@@ -169,6 +169,40 @@ def test_eval_throttle_secs(tmp_path):
     assert os.path.isdir(os.path.join(str(tmp_path), "export"))
 
 
+def test_grad_accum_matches_big_batch(tmp_path):
+    """grad_accum_steps=2 at b=64 equals one b=128 step on the
+    concatenated batch (SGD, BN/dropout off: the mean-of-micro-grads IS
+    the big-batch gradient)."""
+    from recalgorithm_tpu.models.dcn import DCN, DCNConfig
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=3, vocab_scale=0.005))
+    schema = wechat_schema(gen.vocab_sizes())
+    big = gen.batch(128, 0)
+    micro = [{k: v[:64] for k, v in big.items()},
+             {k: v[64:] for k, v in big.items()}]
+
+    def run(batches, accum, name):
+        cfg = DCNConfig(batch_size=64, batch_norm=False, dropout_rate=0.0)
+        model = DCN(config=cfg, schema=schema)
+        trainer = Trainer(
+            model, cfg.task_names, optimizers.build("sgd", 0.01),
+            TrainerConfig(model_dir=str(tmp_path / name), train_steps=9,
+                          save_checkpoints_steps=0, grad_accum_steps=accum),
+        )
+        state = trainer.init_state(micro[0])
+        trainer._compile()
+        for b in batches:
+            state, _ = trainer._train_jit(
+                state, trainer._put_batch(b), jax.random.key(0, impl="rbg"))
+        return state.params
+
+    p_accum = run(micro, 2, "accum")
+    p_big = run([big], 1, "big")
+    for a, b in zip(jax.tree.leaves(p_accum), jax.tree.leaves(p_big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_sigterm_saves_checkpoint_and_stops(tmp_path):
     """Preemption safety: SIGTERM mid-training finishes the in-flight
     step, saves a checkpoint, skips the final eval, and a restarted run
