@@ -1,7 +1,7 @@
 """Model zoo: importing this package populates the registry.
 
 16 reference models + ESMM (listed-but-unimplemented in the reference)
-+ beyond-reference additions (DCNv2, AutoInt).
++ beyond-reference additions (DCNv2, AutoInt, DLRM, FinalMLP, MaskNet).
 Use ``recalgorithm_tpu.models.get_model(name)`` for (config_cls, model_cls).
 """
 
@@ -22,7 +22,9 @@ from recalgorithm_tpu.models import (  # noqa: F401
     esmm,
     ffm,
     fibinet,
+    final_mlp,
     fwfm,
+    masknet,
     mmoe,
     nfm,
     ple,

@@ -339,3 +339,68 @@ class InteractingLayer(nn.Module):
         att = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhfg,bghd->bfhd", att, v, precision=_HI)
         return nn.relu(out.reshape(b, f, h * d) + x @ wr)
+
+
+class MaskBlock(nn.Module):
+    """MaskNet's instance-guided mask block (beyond-reference addition).
+
+    Wang et al. 2021 (arXiv:2102.07619 §3.2-3.3): a two-layer bottleneck
+    MLP on the flat input embedding emits a per-instance multiplicative
+    mask over the block's hidden input; the masked vector runs a bias-free
+    feed-forward layer followed by LayerNorm and relu (LN supplies the
+    bias, as in the paper's LN-HID).  All three matmuls are (B, D)-sized
+    MXU contractions with static shapes — one fused subgraph under jit.
+
+    ``hidden`` is the vector being masked (the LN'd flat embedding for the
+    first block, the previous block's output in serial stacking);
+    ``mask_input`` is always the flat field embedding.
+    """
+
+    output_size: int
+    agg_size: int  # bottleneck width of the mask generator ("aggregation")
+
+    @nn.compact
+    def __call__(self, hidden: jax.Array, mask_input: jax.Array) -> jax.Array:
+        agg = nn.relu(Dense(self.agg_size, name="mask_agg")(mask_input))
+        mask = Dense(hidden.shape[-1], name="mask_proj")(agg)
+        out = nn.Dense(
+            self.output_size, use_bias=False,
+            kernel_init=glorot_uniform, name="hidden",
+        )(mask * hidden)
+        return nn.relu(nn.LayerNorm(name="ln")(out))
+
+
+class BilinearFusion(nn.Module):
+    """FinalMLP's multi-head bilinear interaction aggregation
+    (beyond-reference addition).
+
+    Mao et al. 2023 (arXiv:2304.00902 §3.3): the two stream outputs are
+    split into ``num_heads`` chunks and fused per head with a bilinear
+    form —  logit = b + w1.o1 + w2.o2 + sum_k o1_k^T W_k o2_k.  The
+    bilinear term is one (k, d1, d2) einsum; heads cut its parameter
+    count k-fold versus a single full bilinear matrix.
+    """
+
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, o1: jax.Array, o2: jax.Array) -> jax.Array:  # -> (B,)
+        k = self.num_heads
+        if o1.shape[-1] % k or o2.shape[-1] % k:
+            raise ValueError(
+                f"stream dims {o1.shape[-1]}/{o2.shape[-1]} not divisible by"
+                f" num_heads={k}"
+            )
+        d1, d2 = o1.shape[-1] // k, o2.shape[-1] // k
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        w1 = self.param("w1", glorot_uniform, (o1.shape[-1], 1))
+        w2 = self.param("w2", glorot_uniform, (o2.shape[-1], 1))
+        # bilinear tensor starts at zero: a glorot init sums k*d1*d2 products
+        # of O(1) activations into the logit (std ~10 at the default stream
+        # widths) and saturates every sigmoid at init; zero keeps the fused
+        # logit = linear part until the bilinear term earns its weights.
+        w3 = self.param("w3", nn.initializers.zeros, (k, d1, d2))
+        o1h = o1.reshape(o1.shape[0], k, d1)
+        o2h = o2.reshape(o2.shape[0], k, d2)
+        bilinear = jnp.einsum("bkd,kde,bke->b", o1h, w3, o2h, precision=_HI)
+        return bias[0] + (o1 @ w1)[:, 0] + (o2 @ w2)[:, 0] + bilinear

@@ -267,3 +267,52 @@ def test_interacting_layer_oracle(field_emb):
     want = np.maximum(want, 0.0)
     assert got.shape == (B, F, h * d)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mask_block_oracle():
+    """MaskNet (beyond-reference): instance-guided mask -> bias-free dense
+    -> LayerNorm -> relu, against an explicit numpy recomputation."""
+    rng = np.random.default_rng(3)
+    hidden = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32))
+    mask_in = jnp.asarray(rng.normal(size=(B, 14)).astype(np.float32))
+    block = I.MaskBlock(output_size=6, agg_size=12)
+    params = block.init(jax.random.key(0), hidden, mask_in)
+    got = np.asarray(block.apply(params, hidden, mask_in))
+    p = jax.tree.map(np.asarray, params["params"])
+    agg = np.maximum(
+        np.asarray(mask_in) @ p["mask_agg"]["kernel"] + p["mask_agg"]["bias"], 0.0
+    )
+    mask = agg @ p["mask_proj"]["kernel"] + p["mask_proj"]["bias"]
+    out = (mask * np.asarray(hidden)) @ p["hidden"]["kernel"]
+    mu = out.mean(axis=-1, keepdims=True)
+    var = out.var(axis=-1, keepdims=True)
+    ln = (out - mu) / np.sqrt(var + 1e-6) * p["ln"]["scale"] + p["ln"]["bias"]
+    want = np.maximum(ln, 0.0)
+    assert got.shape == (B, 6)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bilinear_fusion_oracle():
+    """FinalMLP (beyond-reference): multi-head bilinear aggregation
+    b + w1.o1 + w2.o2 + sum_k o1_k^T W_k o2_k against a per-head loop."""
+    rng = np.random.default_rng(4)
+    o1 = jnp.asarray(rng.normal(size=(B, 6)).astype(np.float32))
+    o2 = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    fusion = I.BilinearFusion(num_heads=2)
+    params = fusion.init(jax.random.key(0), o1, o2)
+    # w3 is zero-initialised (saturation guard) — plant real values so the
+    # oracle exercises the bilinear path
+    params = jax.tree.map(lambda x: x, params)  # unfreeze-safe shallow copy
+    params["params"]["w3"] = jnp.asarray(
+        rng.normal(size=params["params"]["w3"].shape).astype(np.float32)
+    )
+    got = np.asarray(fusion.apply(params, o1, o2))
+    p = jax.tree.map(np.asarray, params["params"])
+    a, b_ = np.asarray(o1), np.asarray(o2)
+    want = p["bias"][0] + (a @ p["w1"])[:, 0] + (b_ @ p["w2"])[:, 0]
+    for k in range(2):
+        ah, bh = a[:, k * 3:(k + 1) * 3], b_[:, k * 2:(k + 1) * 2]
+        want = want + np.einsum("bd,de,be->b", ah, p["w3"][k], bh)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError):
+        I.BilinearFusion(num_heads=4).init(jax.random.key(0), o1, o2)

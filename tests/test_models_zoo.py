@@ -120,3 +120,30 @@ def test_bf16_precision_close_to_f32(name):
         np.testing.assert_allclose(
             a, b, rtol=0, atol=0.01 * scale, err_msg=(name, t)
         )
+
+
+def test_masknet_serial_and_finalmlp_static_context():
+    """Non-default variants: MaskNet-S (serial block chaining) and
+    FinalMLP with empty feature-selection groups (learned static context)
+    run forward and produce finite logits."""
+    from recalgorithm_tpu.models.masknet import MaskNet, MaskNetConfig
+    from recalgorithm_tpu.models.final_mlp import FinalMLP, FinalMLPConfig
+
+    for cfg, cls in [
+        (MaskNetConfig(block_mode="serial", num_blocks=2,
+                       hidden_units=(32, 16)), MaskNet),
+        (FinalMLPConfig(fs1_fields=(), fs2_fields=(),
+                        hidden_units=(32, 16)), FinalMLP),
+    ]:
+        model = cls(config=cfg, schema=SCHEMA)
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            BATCH, train=True,
+        )
+        logits, _ = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+            BATCH, train=False, mutable=["losses"],
+        )
+        v = np.asarray(logits["read_comment"])
+        assert v.shape == (B,) and np.all(np.isfinite(v)), cls.__name__
