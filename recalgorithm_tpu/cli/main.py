@@ -41,11 +41,23 @@ def _add_dataclass_flags(parser: argparse.ArgumentParser, cfg_cls) -> None:
         elif origin is tuple:
             args = typing.get_args(ftype)
             elem = args[0] if args else str
-            parser.add_argument(
-                name,
-                type=lambda s, e=elem: tuple(e(x) for x in s.split(",") if x),
-                default=default,
-            )
+            if typing.get_origin(elem) is tuple:
+                # nested pairs (e.g. task_loss_weights): "task:w,task:w"
+                k_t, v_t = typing.get_args(elem)
+
+                def _pairs(s, kt=k_t, vt=v_t):
+                    return tuple(
+                        (kt(k), vt(v))
+                        for k, v in (x.split(":", 1) for x in s.split(",") if x)
+                    )
+
+                parser.add_argument(name, type=_pairs, default=default)
+            else:
+                parser.add_argument(
+                    name,
+                    type=lambda s, e=elem: tuple(e(x) for x in s.split(",") if x),
+                    default=default,
+                )
         elif ftype in (int, float, str):
             parser.add_argument(name, type=ftype, default=default)
         else:
@@ -280,6 +292,8 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
 
     import csv
 
+    if os.path.dirname(args.predictions_csv):
+        os.makedirs(os.path.dirname(args.predictions_csv), exist_ok=True)
     with open(args.predictions_csv, "w", newline="") as f:
         writer = csv.writer(f)
         tasks = list(cfg.task_names)

@@ -1,7 +1,8 @@
 """Model zoo: importing this package populates the registry.
 
 16 reference models + ESMM (listed-but-unimplemented in the reference)
-+ beyond-reference additions (DCNv2, AutoInt, DLRM, FinalMLP, MaskNet).
++ beyond-reference additions (DCNv2, AutoInt, DLRM, FinalMLP, MaskNet,
+TwoTower retrieval).
 Use ``recalgorithm_tpu.models.get_model(name)`` for (config_cls, model_cls).
 """
 
@@ -29,6 +30,7 @@ from recalgorithm_tpu.models import (  # noqa: F401
     nfm,
     ple,
     pnn,
+    two_tower,
     wide_and_deep,
     xdeepfm,
 )

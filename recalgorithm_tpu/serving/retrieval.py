@@ -1,0 +1,123 @@
+"""Brute-force MXU retrieval for two-tower models (beyond-reference).
+
+No reference counterpart — the reference serves rankers only.  On TPU the
+right candidate-generation index at WeChat scale is NO index: scoring a
+(B, D) user block against a (N, D) corpus is one MXU matmul
+(B=512, N=106k, D=64 → ~7 GFLOP/s of trivially-tiled bf16 work), and
+`lax.top_k` over the score rows is a fused on-device reduction.  Exact
+exhaustive retrieval beats an approximate ANN structure until N is orders
+of magnitude larger, with zero recall loss and zero host round trips.
+
+Usage:
+    retr = Retriever(model, variables)
+    retr.build_corpus(item_batches)          # dedup by feedid, embed, stack
+    ids, scores = retr.retrieve(user_batch, k=100)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def brute_force_top_k(
+    user_vecs: jax.Array, corpus: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over a corpus: (B, D) x (N, D) -> (B, k) scores + indices.
+
+    One MXU matmul + `lax.top_k`; static shapes, jit-safe.  Scores are the
+    raw dot products — towers emit L2-normalised vectors, so this is cosine
+    similarity and monotone in the serving temperature.
+    """
+    scores = user_vecs @ corpus.T  # (B, N)
+    return jax.lax.top_k(scores, k)
+
+
+class Retriever:
+    """Embeds a corpus with the item tower and serves exact top-k users.
+
+    ``variables`` is the dict the train loop exports ({'params': ...,
+    'batch_stats': ...}); ``model`` is a module exposing ``user_embedding``
+    / ``item_embedding`` methods (TwoTower).
+    """
+
+    def __init__(self, model, variables: Mapping):
+        self.model = model
+        self.variables = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        self.corpus: jax.Array | None = None  # (N, D)
+        self.corpus_ids: np.ndarray | None = None  # (N,) feedids
+        self._embed_items = jax.jit(
+            lambda b: self.model.apply(
+                self.variables, b, train=False,
+                method=self.model.item_embedding,
+            )
+        )
+        self._embed_users = jax.jit(
+            lambda b: self.model.apply(
+                self.variables, b, train=False,
+                method=self.model.user_embedding,
+            )
+        )
+        self._topk = jax.jit(brute_force_top_k, static_argnums=2)
+
+    def build_corpus(self, item_batches: Iterable[Mapping]) -> int:
+        """Embed item batches, dedup by feedid (first occurrence wins).
+
+        Batches are standard translated training batches; only the item-side
+        columns are read.  Returns the corpus size N.
+        """
+        seen: set[int] = set()
+        ids_out: list[np.ndarray] = []
+        vec_out: list[np.ndarray] = []
+        for batch in item_batches:
+            feed = np.asarray(batch["feedid"]).reshape(-1)
+            vecs = np.asarray(self._embed_items(batch))
+            # first occurrence within the batch AND unseen across batches
+            _, first = np.unique(feed, return_index=True)
+            fresh = np.zeros(feed.shape[0], dtype=bool)
+            fresh[first] = True
+            fresh &= np.array([f not in seen for f in feed])
+            if fresh.any():
+                seen.update(feed[fresh].tolist())
+                ids_out.append(feed[fresh])
+                vec_out.append(vecs[fresh])
+        if not ids_out:
+            raise ValueError("build_corpus: no items")
+        self.corpus_ids = np.concatenate(ids_out)
+        self.corpus = jnp.asarray(np.concatenate(vec_out))
+        return int(self.corpus.shape[0])
+
+    def retrieve(
+        self, user_batch: Mapping, k: int = 100
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k feedids + cosine scores for each user row: (B, k), (B, k)."""
+        if self.corpus is None:
+            raise ValueError("call build_corpus first")
+        u = self._embed_users(user_batch)
+        scores, idx = self._topk(u, self.corpus, k)
+        return self.corpus_ids[np.asarray(idx)], np.asarray(scores)
+
+    def recall_at_k(
+        self, batches: Iterable[Mapping], k: int, label_index: int = 0
+    ) -> float:
+        """Offline Recall@K: over positive rows (labels[:, label_index] > 0),
+        the fraction whose own feedid lands in the user's top-k.
+
+        The random-tower baseline is ~k/N; a trained model must clear it.
+        """
+        hits, total = 0, 0
+        for batch in batches:
+            y = np.asarray(batch["labels"])[:, label_index] > 0
+            if not y.any():
+                continue
+            ids, _ = self.retrieve(batch, k)
+            feed = np.asarray(batch["feedid"]).reshape(-1)
+            hits += int(np.sum((ids[y] == feed[y, None]).any(axis=1)))
+            total += int(y.sum())
+        return hits / max(total, 1)

@@ -206,6 +206,15 @@ class Trainer:
             variables, batch, train=train, rngs=rngs, mutable=mutable
         )
         weights = batch.get("_weights")
+        # optional per-task loss weights (config.task_loss_weights, a tuple of
+        # (task, weight) pairs — frozen dataclasses need hashable fields):
+        # multi-task reweighting, or 0.0 to train a task's head by a sowed
+        # loss only (TwoTower's pure in-batch-softmax mode) while its AUC /
+        # accuracy metrics keep reporting
+        tlw = dict(
+            getattr(getattr(self.model, "config", None),
+                    "task_loss_weights", ()) or ()
+        )
         total = jnp.zeros((), jnp.float32)
         per_task = {}
         for task in self.task_names:
@@ -217,7 +226,7 @@ class Trainer:
             else:
                 mean = jnp.mean(ce)
             per_task[task] = mean
-            total = total + mean
+            total = total + tlw.get(task, 1.0) * mean
         reg = updates.get("losses", {})
         for leaf in jax.tree.leaves(reg):
             total = total + jnp.sum(leaf)
@@ -315,7 +324,9 @@ class Trainer:
     @property
     def compiler_options(self) -> dict | None:
         kib = self.config.scoped_vmem_limit_kib
-        if kib and jax.devices()[0].platform not in ("cpu",):
+        # TPU-only XLA option: a GPU backend would reject xla_tpu_* flags
+        # ("axon" is the tunneled-TPU PJRT plugin's platform name)
+        if kib and jax.devices()[0].platform in ("tpu", "axon"):
             return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
         return None
 
