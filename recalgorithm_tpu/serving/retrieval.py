@@ -16,11 +16,14 @@ Usage:
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, Mapping
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
 
 
 def brute_force_top_k(
@@ -36,15 +39,68 @@ def brute_force_top_k(
     return jax.lax.top_k(scores, k)
 
 
+def sharded_top_k(
+    user_vecs: jax.Array, corpus: jax.Array, k: int, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
+    """Exact distributed top-k: corpus rows sharded over ALL mesh axes.
+
+    The multi-chip scaling path for retrieval (same layout rule as the
+    row-sharded embedding tables, `parallel/mesh.py` TABLE_SPEC): each
+    device scores the replicated user block against its corpus shard
+    (local MXU matmul, HBM traffic divided by device count), takes a local
+    top-k, and one small `(B, n_dev*k)` all-gather feeds the global merge —
+    candidates ride ICI, never the (B, N) score matrix.  Exact because
+    every global winner is a local winner on its own shard.
+
+    Returns replicated ``(scores, global_row_indices)``, both (B, k);
+    padding rows score -inf and can never win.  k is capped per-shard at
+    the shard size, which preserves exactness (a shard cannot contribute
+    more rows than it holds).
+    """
+    axes = tuple(mesh.axis_names)
+    n_dev = math.prod(mesh.shape.values())
+    n = corpus.shape[0]
+    k = min(k, n)  # cannot return more rows than the corpus holds
+    pad = (-n) % n_dev
+    corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    n_loc = corpus.shape[0] // n_dev
+    k_loc = min(k, n_loc)
+
+    def local(u, c):
+        flat = jnp.zeros((), jnp.int32)
+        for name in axes:
+            flat = flat * mesh.shape[name] + jax.lax.axis_index(name)
+        base = flat * n_loc
+        scores = u @ c.T  # (B, n_loc) on this shard's rows
+        gid = base + jnp.arange(n_loc)
+        scores = jnp.where(gid[None, :] < n, scores, -jnp.inf)
+        s, i = jax.lax.top_k(scores, k_loc)
+        cand_s = jax.lax.all_gather(s, axes, axis=1, tiled=True)
+        cand_i = jax.lax.all_gather(base + i, axes, axis=1, tiled=True)
+        out_s, pos = jax.lax.top_k(cand_s, k)  # (B, min(k, n_dev*k_loc))
+        return out_s, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axes, None)),
+        out_specs=(P(), P()),
+        # the merge inputs are all_gathered (identical on every device) but
+        # vma can't statically prove that; serving-only path, no autodiff
+        check_vma=False,
+    )
+    return fn(user_vecs, corpus)
+
+
 class Retriever:
     """Embeds a corpus with the item tower and serves exact top-k users.
 
     ``variables`` is the dict the train loop exports ({'params': ...,
     'batch_stats': ...}); ``model`` is a module exposing ``user_embedding``
-    / ``item_embedding`` methods (TwoTower).
+    / ``item_embedding`` methods (TwoTower).  With a ``mesh``, scoring runs
+    the distributed `sharded_top_k` (corpus rows sharded over all axes).
     """
 
-    def __init__(self, model, variables: Mapping):
+    def __init__(self, model, variables: Mapping, mesh: Mesh | None = None):
         self.model = model
         self.variables = {
             "params": variables["params"],
@@ -64,7 +120,13 @@ class Retriever:
                 method=self.model.user_embedding,
             )
         )
-        self._topk = jax.jit(brute_force_top_k, static_argnums=2)
+        if mesh is None:
+            self._topk = jax.jit(brute_force_top_k, static_argnums=2)
+        else:
+            self._topk = jax.jit(
+                lambda u, c, k: sharded_top_k(u, c, k, mesh),
+                static_argnums=2,
+            )
 
     def build_corpus(self, item_batches: Iterable[Mapping]) -> int:
         """Embed item batches, dedup by feedid (first occurrence wins).

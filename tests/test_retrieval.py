@@ -101,6 +101,36 @@ def test_retriever_topk_matches_numpy_oracle():
     # scores must be descending
     assert np.all(np.diff(scores, axis=-1) <= 1e-6)
 
+    # a mesh-backed Retriever returns the identical result
+    from recalgorithm_tpu.parallel.mesh import make_mesh
+
+    retr_m = Retriever(model, variables, mesh=make_mesh(num_model=2))
+    retr_m.corpus, retr_m.corpus_ids = retr.corpus, retr.corpus_ids
+    ids_m, scores_m = retr_m.retrieve(BATCH, k=5)
+    np.testing.assert_array_equal(ids_m, ids)
+    np.testing.assert_allclose(scores_m, scores, rtol=1e-6)
+
+
+def test_sharded_top_k_matches_single_device():
+    """Corpus sharded over the full 8-device (data, model) mesh: the
+    local-top-k + all-gather merge returns exactly the single-device
+    result, including with a corpus size not divisible by the device count
+    (padding rows score -inf) and with k larger than a local shard."""
+    from recalgorithm_tpu.parallel.mesh import make_mesh
+    from recalgorithm_tpu.serving.retrieval import sharded_top_k
+
+    rng = np.random.default_rng(1)
+    mesh = make_mesh(num_model=2)
+    for n, k in [(101, 7), (64, 5), (40, 12)]:  # 101 % 8 != 0; 12 > 40/8
+        u = jnp.asarray(rng.normal(size=(6, 16)).astype(np.float32))
+        c = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+        want_s, want_i = brute_force_top_k(u, c, k)
+        got_s, got_i = sharded_top_k(u, c, k, mesh)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(want_s), rtol=1e-6
+        )
+
 
 def test_brute_force_top_k_shape_and_exactness():
     rng = np.random.default_rng(0)
