@@ -100,7 +100,14 @@ class Retriever:
     the distributed `sharded_top_k` (corpus rows sharded over all axes).
     """
 
-    def __init__(self, model, variables: Mapping, mesh: Mesh | None = None):
+    def __init__(
+        self,
+        model,
+        variables: Mapping,
+        mesh: Mesh | None = None,
+        serve_k: int = 100,
+    ):
+        self.serve_k = serve_k
         self.model = model
         self.variables = {
             "params": variables["params"],
@@ -164,6 +171,15 @@ class Retriever:
         u = self._embed_users(user_batch)
         scores, idx = self._topk(u, self.corpus, k)
         return self.corpus_ids[np.asarray(idx)], np.asarray(scores)
+
+    def predict_batch(self, batch: Mapping) -> dict[str, np.ndarray]:
+        """Batch interface for `serving.server.BatchingPredictor`: returns
+        {'feedids': (B, serve_k), 'scores': (B, serve_k)} so single-user
+        retrieval requests co-batch through the same dynamic batcher as
+        ranking traffic.  Padded tail rows (the batcher's zero rows) produce
+        rows that the batcher slices away per-request."""
+        ids, scores = self.retrieve(batch, self.serve_k)
+        return {"feedids": ids, "scores": scores}
 
     def recall_at_k(
         self, batches: Iterable[Mapping], k: int, label_index: int = 0

@@ -131,8 +131,12 @@ class BatchingPredictor:
                 batch[key] = rows
             batch["_weights"] = (np.arange(b) < n).astype(np.float32)
             probs = self.predictor.predict_batch(batch)
+            # scalar per task (rankers) stays a float; vector per task
+            # (retrieval top-k ids/scores) comes back as an ndarray row
             results = [
-                {t: float(p[i]) for t, p in probs.items()} for i in range(n)
+                {t: (float(p[i]) if np.ndim(p[i]) == 0 else np.asarray(p[i]))
+                 for t, p in probs.items()}
+                for i in range(n)
             ]
         except Exception as exc:  # propagate to every waiting client
             for _, fut in pending:

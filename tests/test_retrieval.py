@@ -143,6 +143,40 @@ def test_brute_force_top_k_shape_and_exactness():
     )
 
 
+def test_retriever_through_batching_server():
+    """Single-user retrieval requests co-batch through BatchingPredictor and
+    return each row of the direct batched retrieve() — vector-valued task
+    outputs (top-k ids/scores) ride the same dynamic batcher as rankers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from recalgorithm_tpu.serving.server import BatchingPredictor
+
+    model, variables = _init(TwoTowerConfig(hidden_units=(32,), output_dim=8))
+    retr = Retriever(model, variables, serve_k=5)
+    retr.build_corpus(
+        {k: jnp.asarray(a) for k, a in _gen.batch(B, s).items()}
+        for s in (1, 2)
+    )
+    direct_ids, direct_scores = retr.retrieve(BATCH, k=5)
+
+    server = BatchingPredictor(retr, max_batch_size=16, max_delay_ms=5.0)
+    try:
+        examples = [
+            {k: np.asarray(v)[i] for k, v in BATCH.items()} for i in range(B)
+        ]
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(server.predict_one, examples))
+    finally:
+        server.close()
+    np.testing.assert_array_equal(
+        np.stack([r["feedids"] for r in results]), direct_ids
+    )
+    np.testing.assert_allclose(
+        np.stack([r["scores"] for r in results]), direct_scores,
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_task_loss_weight_scales_sigmoid_ce():
     """tlw=0 removes exactly the per-task sigmoid CE from the total loss
     (pure in-batch-softmax training) — trainer-level hook, model-agnostic."""
