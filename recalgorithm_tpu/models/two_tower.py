@@ -20,6 +20,12 @@ logit is cosine/temperature.  Losses:
     anchor a softmax), with same-feedid collisions masked to -inf so a
     duplicate item is never its own false negative — sowed into the
     'losses' collection the trainer already sums;
+  * optional log-Q correction (``logq_correction=True``, Yi et al. 2019
+    §3.2): in-batch negatives are sampled by item popularity, so each
+    candidate's logit gets ``- log(p_item)``; ``p`` comes from a streaming
+    EMA item-frequency estimator kept as a BatchNorm-style running stat in
+    the ``batch_stats`` collection (checkpointed/exported for free,
+    untouched at inference);
   * the standard per-task sigmoid CE on the cosine logit (calibration).
     ``task_loss_weights=(("read_comment", 0.0),)`` turns it off for pure
     retrieval training while AUC metrics keep reporting.
@@ -53,6 +59,10 @@ class TwoTowerConfig(common.TrainFlags):
     output_dim: int = 64
     temperature: float = 0.07
     softmax_weight: float = 1.0  # weight of the in-batch softmax loss
+    # subtract log(p_item) from each candidate logit (sampled-softmax
+    # correction for popularity-biased in-batch negatives)
+    logq_correction: bool = False
+    freq_decay: float = 0.99  # EMA decay of the item-frequency estimator
     batch_norm: bool = False  # towers feed a normalised dot — keep them lean
     dropout_rate: float = 0.0
     # (task, weight) pairs for the trainer's sigmoid-CE sum; 1.0 keeps the
@@ -90,6 +100,13 @@ class TwoTower(nn.Module):
         self.user_tower = MLPTower(**tower)
         self.item_tower = MLPTower(**tower)
         self._user_dense, self._item_dense = _dense_split(self.schema)
+        if cfg.logq_correction:
+            self._freq = self.variable(
+                "batch_stats", "feedid_freq",
+                lambda: jnp.full(
+                    (self.schema.vocab_sizes["feedid"],), 1.0, jnp.float32
+                ),  # uniform prior
+            )
 
     def user_embedding(self, batch, train: bool = False) -> jax.Array:
         """(B, output_dim) L2-normalised user vector."""
@@ -127,8 +144,10 @@ class TwoTower(nn.Module):
 
         if cfg.softmax_weight > 0:
             scores = (u @ v.T) / cfg.temperature  # (B, B)
-            # mask same-feedid off-diagonal collisions (false negatives)
             feed = batch["feedid"].reshape(-1)
+            if cfg.logq_correction:
+                scores = scores - self._log_q(feed, train)[None, :]
+            # mask same-feedid off-diagonal collisions (false negatives)
             same = feed[:, None] == feed[None, :]
             eye = jnp.eye(scores.shape[0], dtype=bool)
             scores = jnp.where(same & ~eye, -1e9, scores)
@@ -142,6 +161,21 @@ class TwoTower(nn.Module):
             self.sow("losses", "in_batch_softmax", cfg.softmax_weight * loss)
 
         return {"read_comment": logit}
+
+    def _log_q(self, feed: jax.Array, train: bool) -> jax.Array:
+        """(B,) log sampling probability of each in-batch candidate item.
+
+        Streaming EMA of per-feedid occurrence counts, stored in
+        ``batch_stats`` (the running-stats collection the trainer threads,
+        checkpoints and exports) and updated only when it is mutable, i.e.
+        in train mode — exactly BatchNorm's contract."""
+        vocab = self.schema.vocab_sizes["feedid"]
+        freq = self._freq
+        if train and not self.is_initializing():
+            hist = jnp.zeros((vocab,), jnp.float32).at[feed].add(1.0)
+            freq.value = self.config.freq_decay * freq.value + hist
+        p = freq.value[feed] / jnp.sum(freq.value)
+        return jnp.log(jnp.maximum(p, 1e-12))
 
 
 common.register_model("TwoTower", TwoTowerConfig, TwoTower)

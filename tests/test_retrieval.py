@@ -78,6 +78,47 @@ def test_in_batch_softmax_matches_oracle_with_collision_mask():
     assert logp[0, 1] < -1e8 / cfg.temperature * 0 - 100
 
 
+def test_logq_correction_tracks_frequencies_and_matches_oracle():
+    """The streaming item-frequency EMA updates exactly (decay*prior + batch
+    histogram) in train mode, stays frozen at inference, and the corrected
+    softmax loss equals a hand computation with -log(p_j) on each candidate
+    column."""
+    cfg = TwoTowerConfig(hidden_units=(32,), output_dim=8,
+                         logq_correction=True, freq_decay=0.9)
+    model, variables = _init(cfg)
+    vocab = SCHEMA.vocab_sizes["feedid"]
+    feed = np.asarray(BATCH["feedid"]).reshape(-1)
+
+    # one train-mode step: freq = 0.9 * prior(=1.0) + histogram(feed)
+    _, upd = model.apply(variables, BATCH, train=True,
+                         rngs={"dropout": jax.random.key(0)},
+                         mutable=["batch_stats", "losses"])
+    freq = np.asarray(upd["batch_stats"]["feedid_freq"])
+    want = 0.9 * np.ones(vocab) + np.bincount(feed, minlength=vocab)
+    np.testing.assert_allclose(freq, want, rtol=1e-6)
+
+    # the sowed loss matches an oracle using the POST-update frequencies
+    (sowed,) = jax.tree.leaves(upd["losses"])
+    u = np.asarray(model.apply(variables, BATCH, method=model.user_embedding))
+    v = np.asarray(model.apply(variables, BATCH, method=model.item_embedding))
+    scores = (u @ v.T) / cfg.temperature - np.log(freq[feed] / freq.sum())
+    same = feed[:, None] == feed[None, :]
+    np.fill_diagonal(same, False)
+    scores = np.where(same, -1e9, scores)
+    m = scores.max(-1, keepdims=True)
+    logp = scores - m - np.log(np.sum(np.exp(scores - m), -1, keepdims=True))
+    y = np.asarray(BATCH["labels"][:, SCHEMA.labels.index("read_comment")],
+                   np.float32)
+    oracle = -np.sum(np.diagonal(logp) * y) / max(y.sum(), 1.0)
+    np.testing.assert_allclose(float(sowed), oracle, rtol=1e-4)
+
+    # inference mode must not mutate the estimator
+    new_vars = {"params": variables["params"],
+                "batch_stats": upd["batch_stats"]}
+    _, upd2 = model.apply(new_vars, BATCH, train=False, mutable=["losses"])
+    assert "batch_stats" not in upd2
+
+
 def test_retriever_topk_matches_numpy_oracle():
     model, variables = _init(TwoTowerConfig(hidden_units=(32,), output_dim=8))
     retr = Retriever(model, variables)
