@@ -185,6 +185,23 @@ class EmbeddingCollection(nn.Module):
         emb = sharded_lookup(tab, flat_ids, mesh, axes, axes[0])
         return emb.reshape(*ids.shape, tab.shape[1])
 
+    def _quantized_rows(self, table: str, ids: jax.Array) -> jax.Array | None:
+        """Serving-time int8 lookup when a ``qtables`` collection is present.
+
+        serving/quantize.py builds the collection (``<name>__q`` int8 rows +
+        ``<name>__scale`` f32 per-row scales) mirroring the params tree, so
+        scope resolution pairs each table with its quantized twin.  The
+        gather moves ~4x fewer HBM bytes; dequant happens on the gathered
+        rows only and fuses into the consumers.  Training paths never pass
+        the collection and are unaffected.
+        """
+        if not self.has_variable("qtables", f"{table}__q"):
+            return None
+        q = self.get_variable("qtables", f"{table}__q")
+        scale = self.get_variable("qtables", f"{table}__scale")
+        rows = jnp.take(q, ids, axis=0, mode="clip").astype(scale.dtype)
+        return rows * jnp.take(scale, ids, axis=0, mode="clip")
+
     def _gather(self, tab: jax.Array, ids: jax.Array) -> jax.Array:
         """Plain gather with the fastest available backward (no masking)."""
         emb = self._maybe_sharded_gather(tab, ids)
@@ -215,12 +232,16 @@ class EmbeddingCollection(nn.Module):
         tab = self._params[table]
         if self._is_dense(table):
             return _masked_one_hot(ids, tab.shape[0], tab.dtype) @ tab
-        emb = self._gather(tab, ids)
+        emb = self._quantized_rows(table, ids)
+        if emb is None:
+            emb = self._gather(tab, ids)
         return emb * (ids > 0)[:, None].astype(emb.dtype)
 
     def embed_sequence(self, table: str, ids: jax.Array) -> jax.Array:
         """(B, T) padded ids -> (B, T, dim) with zero rows at PAD positions."""
-        emb = self._gather(self._params[table], ids)
+        emb = self._quantized_rows(table, ids)
+        if emb is None:
+            emb = self._gather(self._params[table], ids)
         return emb * (ids > 0)[..., None].astype(emb.dtype)
 
     def embed_pooled(

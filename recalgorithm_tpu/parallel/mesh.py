@@ -57,20 +57,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def is_embedding_table_path(path: tuple) -> bool:
-    """True for params living under an EmbeddingCollection named 'embed'.
+    """True for params living under an EmbeddingCollection scope.
 
-    Framework convention: every model instantiates its EmbeddingCollection as
-    ``name='embed'`` so sharding rules need no per-model configuration.
+    Framework convention: every EmbeddingCollection instance name contains
+    'embed' ('embed', 'embed_w', W&D's 'wide_embed_w') so sharding and
+    quantization rules need no per-model configuration.  Substring, not
+    prefix: W&D's wide-cross table (100k rows, the model's largest) must be
+    row-sharded and quantizable like every other table.  Only SCOPE entries
+    (path[:-1]) are tested — the leaf is the table's vocab name, and leaf
+    params like BST's 'position_embedding' must not match.
+    Accepts jax KeyPath entries (DictKey/GetAttrKey) or plain strings.
     """
-    keys = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
-    return any(k.startswith("embed") for k in keys)
+    keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path[:-1]]
+    return any("embed" in k for k in keys)
 
 
 def is_expert_param_path(path) -> bool:
     """True for params of an ExpertGroup (framework convention: instance
     names start with 'experts' — MMOE's 'experts', PLE/CGC's
     'experts_<task>' / 'experts_shared')."""
-    keys = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+    keys = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
     return any(k.startswith("experts") for k in keys)
 
 

@@ -36,17 +36,30 @@ def export_stablehlo(
     schema,
     batch_size: int,
     out_path: str,
+    quantize_embeddings: bool = False,
 ) -> None:
-    """Serialize the inference fn (ids -> sigmoid probabilities) to out_path."""
+    """Serialize the inference fn (ids -> sigmoid probabilities) to out_path.
+
+    quantize_embeddings: bake embedding tables as per-row int8 + f32 scales
+    (serving/quantize.py) instead of f32 — ~4x smaller artifact and gather
+    traffic for table-dominated CTR models.  The replaced f32 tables never
+    enter the trace, so they are absent from the serialized constants.
+    """
     from jax import export as jexport
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    collections = {"params": params, "batch_stats": batch_stats}
+    if quantize_embeddings:
+        from recalgorithm_tpu.serving import quantize as qz
+
+        qtables = qz.build_qtables(params)
+        collections["params"] = qz.strip_quantized(params, qtables)
+        collections["qtables"] = qtables
 
     def serve(batch):
         logits, _ = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch, train=False, mutable=["losses"],
+            collections, batch, train=False, mutable=["losses"],
         )
         return jax.tree.map(jax.nn.sigmoid, logits)
 

@@ -25,13 +25,23 @@ import numpy as np
 class Predictor:
     """Loads a best-export artifact and predicts per-task probabilities."""
 
-    def __init__(self, model, export_dir: str):
+    def __init__(self, model, export_dir: str, quantize: bool = False):
+        """quantize: serve embedding tables as per-row int8 (serving/
+        quantize.py) — ~4x less table memory and gather bandwidth."""
         self.model = model
         with open(os.path.join(export_dir, "params.msgpack"), "rb") as f:
             blob = f.read()
         # template from model.init shapes is not required: from_bytes with a
         # None target returns the raw tree (msgpack state dict)
         self.variables = flax.serialization.msgpack_restore(blob)
+        self.qtables = None
+        if quantize:
+            from recalgorithm_tpu.serving import quantize as qz
+
+            self.qtables = qz.build_qtables(self.variables["params"])
+            self.variables["params"] = qz.strip_quantized(
+                self.variables["params"], self.qtables
+            )
         metrics_path = os.path.join(export_dir, "metrics.json")
         self.export_metrics = (
             json.load(open(metrics_path)) if os.path.exists(metrics_path) else {}
@@ -50,12 +60,14 @@ class Predictor:
         return os.path.join(model_dir, "export", f"best_{int(step)}")
 
     def _predict_impl(self, batch):
+        collections = {
+            "params": self.variables["params"],
+            "batch_stats": self.variables.get("batch_stats", {}),
+        }
+        if self.qtables is not None:
+            collections["qtables"] = self.qtables
         logits, _ = self.model.apply(
-            {
-                "params": self.variables["params"],
-                "batch_stats": self.variables.get("batch_stats", {}),
-            },
-            batch, train=False, mutable=["losses"],
+            collections, batch, train=False, mutable=["losses"],
         )
         return jax.tree.map(jax.nn.sigmoid, logits)
 
