@@ -2,7 +2,7 @@
 
 16 reference models + ESMM (listed-but-unimplemented in the reference)
 + beyond-reference additions (DCNv2, AutoInt, DLRM, FinalMLP, MaskNet,
-TwoTower retrieval).
+SharedBottom, TwoTower retrieval).
 Use ``recalgorithm_tpu.models.get_model(name)`` for (config_cls, model_cls).
 """
 
@@ -30,6 +30,7 @@ from recalgorithm_tpu.models import (  # noqa: F401
     nfm,
     ple,
     pnn,
+    shared_bottom,
     two_tower,
     wide_and_deep,
     xdeepfm,
