@@ -101,6 +101,9 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
              "(reference EvalSpec(throttle_secs=600)); 0 disables",
     )
     parser.add_argument("--log_every", type=int, default=100)
+    parser.add_argument("--grad_accum_steps", type=int, default=1,
+                        help="accumulate k micro-batch gradients before each "
+                        "optimizer step (effective batch = k x batch_size)")
     parser.add_argument("--num_model_shards", type=int, default=1,
                         help="mesh 'model' axis size (1 = pure data parallel)")
     parser.add_argument("--no_mesh", action="store_true",
@@ -263,6 +266,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             seed=args.seed,
             shard_map_embeddings=args.shard_map_embeddings,
             compact_grad_scatter=not args.no_compact_grad_scatter,
+            grad_accum_steps=args.grad_accum_steps,
             scoped_vmem_limit_kib=cfg.scoped_vmem_limit_kib,
         ),
         mesh=mesh,
