@@ -47,10 +47,20 @@ from recalgorithm_tpu.train import metrics as M
 class TaskMetrics:
     auc: M.AUCState
     acc: M.ScalarMeanState
+    # production CTR diagnostics (beyond the reference's auc/accuracy):
+    # per-task sigmoid cross-entropy and the calibration ratio
+    # mean(prediction)/mean(label) — the first number a serving team checks
+    # (a miscalibrated CTR feeds wrong expected-value bids downstream).
+    logloss: M.ScalarMeanState
+    pmean: M.ScalarMeanState
+    ymean: M.ScalarMeanState
 
     @classmethod
     def init(cls):
-        return cls(auc=M.AUCState.init(), acc=M.ScalarMeanState.init())
+        return cls(auc=M.AUCState.init(), acc=M.ScalarMeanState.init(),
+                   logloss=M.ScalarMeanState.init(),
+                   pmean=M.ScalarMeanState.init(),
+                   ymean=M.ScalarMeanState.init())
 
 
 @struct.dataclass
@@ -240,12 +250,18 @@ class Trainer:
             y = self._task_label(batch, task)
             p = jax.nn.sigmoid(logits[task])
             tm = state.task_metrics[task]
+            eps = 1e-7
+            pc = jnp.clip(p, eps, 1.0 - eps)
+            ce = -(y * jnp.log(pc) + (1.0 - y) * jnp.log1p(-pc))
             tms[task] = TaskMetrics(
                 auc=M.auc_update(tm.auc, y, p, weights),
                 acc=M.mean_update(
                     tm.acc, (jnp.where(p >= 0.5, 1.0, 0.0) == y).astype(jnp.float32),
                     weights,
                 ),
+                logloss=M.mean_update(tm.logloss, ce, weights),
+                pmean=M.mean_update(tm.pmean, p, weights),
+                ymean=M.mean_update(tm.ymean, y.astype(jnp.float32), weights),
             )
         n = jnp.sum(weights) if weights is not None else batch["labels"].shape[0]
         return state.replace(
@@ -437,6 +453,10 @@ class Trainer:
         for task, tm in state.task_metrics.items():
             out[f"{task}_auc"] = float(M.auc_compute(tm.auc))
             out[f"{task}_accuracy"] = float(M.mean_compute(tm.acc))
+            out[f"{task}_logloss"] = float(M.mean_compute(tm.logloss))
+            out[f"{task}_calibration"] = float(
+                M.mean_compute(tm.pmean)
+            ) / max(float(M.mean_compute(tm.ymean)), 1e-7)
         return out
 
     def _time_eval_due(self, step: int, last_eval_time: float) -> bool:

@@ -358,3 +358,30 @@ def test_legacy_ple_checkpoint_restores(tmp_path):
     batch = trainer._put_batch(gen.batch(64, 1))
     out, loss = trainer._train_jit(restored, batch, jax.random.key(0, impl="rbg"))
     assert np.isfinite(float(loss))
+
+
+def test_eval_reports_logloss_and_calibration(setup):
+    """Per-task production diagnostics: logloss equals the weighted sigmoid
+    CE of the served probabilities; calibration = mean(pred)/mean(label)."""
+    _, gen, _, _, model, trainer, state, ev = setup
+    assert "read_comment_logloss" in ev and "read_comment_calibration" in ev
+    # recompute both on host from the model's own probabilities
+    ps, ys = [], []
+    for hb in gen.batches(128, 8, start_seed=5000):
+        batch = trainer._put_batch(hb)
+        logits, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False, mutable=["losses"],
+        )
+        ps.append(np.asarray(jax.nn.sigmoid(logits["read_comment"])))
+        ys.append(np.asarray(hb["labels"][:, 0]))
+    p = np.concatenate(ps).astype(np.float64)
+    y = np.concatenate(ys).astype(np.float64)
+    eps = 1e-7
+    pc = np.clip(p, eps, 1 - eps)
+    want_ll = float(np.mean(-(y * np.log(pc) + (1 - y) * np.log1p(-pc))))
+    np.testing.assert_allclose(ev["read_comment_logloss"], want_ll, rtol=2e-3)
+    np.testing.assert_allclose(
+        ev["read_comment_calibration"], p.mean() / y.mean(), rtol=2e-3
+    )
+    assert 0.2 < ev["read_comment_calibration"] < 5.0
