@@ -274,3 +274,42 @@ def test_two_tower_learns_and_recall_improves(tmp_path):
     trained = recall({"params": state.params, "batch_stats": state.batch_stats})
     fresh = recall(_init(cfg)[1])
     assert trained > fresh, (trained, fresh)
+
+
+def test_quantized_corpus_retrieval_recall():
+    """int8-corpus retrieval (coarse int8 MXU scoring + exact rescore)
+    recovers the exact-f32 top-k with high overlap and close scores, while
+    storing the corpus 4x smaller and never keeping the f32 matrix."""
+    model, variables = _init(TwoTowerConfig(hidden_units=(32,), output_dim=8))
+    item_batches = [
+        {k: jnp.asarray(a) for k, a in _gen.batch(B, s).items()}
+        for s in (1, 2, 3, 4)
+    ]
+    exact = Retriever(model, variables)
+    n = exact.build_corpus(item_batches)
+    quant = Retriever(model, variables, quantize_corpus=True, overfetch=4)
+    assert quant.build_corpus(item_batches) == n
+    assert quant.corpus is None  # f32 corpus never materialised
+    assert quant.corpus_q.dtype == jnp.int8
+    f32_bytes = n * 8 * 4
+    q_bytes = quant.corpus_q.size + quant.corpus_scale.size * 4
+    assert q_bytes < 0.45 * f32_bytes
+
+    k = 10
+    ids_e, scores_e = exact.retrieve(BATCH, k=k)
+    ids_q, scores_q = quant.retrieve(BATCH, k=k)
+    overlap = np.mean([
+        len(set(ids_e[b]) & set(ids_q[b])) / k for b in range(B)
+    ])
+    assert overlap >= 0.9, overlap
+    # rescored top-1 score matches the exact one closely (rescore uses the
+    # f32 user vector; residual error is corpus-side quantization only)
+    np.testing.assert_allclose(scores_q[:, 0], scores_e[:, 0], atol=5e-3)
+    assert np.all(np.diff(scores_q, axis=-1) <= 1e-6)
+
+    # mesh + quantize is rejected (sharding already divides corpus HBM)
+    from recalgorithm_tpu.parallel.mesh import make_mesh
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Retriever(model, variables, mesh=make_mesh(num_model=2),
+                  quantize_corpus=True)
