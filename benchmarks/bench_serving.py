@@ -58,7 +58,91 @@ def main():
         results[f"b{b}_examples_per_s"] = round(b / us * 1e6, 1)
 
     print(json.dumps({"metric": "din_serving_forward", **results}))
+    quantized_forward(model, gen, on_tpu)
+    retrieval_topk(on_tpu)
     load_test(model, gen, results)
+
+
+def quantized_forward(model, gen, on_tpu: bool):
+    """f32 vs int8-table serving forward at the same batch sizes.
+
+    Both variants gate the batch on the loop carry (a dynamically-unknowable
+    select) so the embedding gathers cannot be hoisted out of the timing
+    loop — the f32 path's params-perturbation trick doesn't cover the int8
+    path, whose gathers read the qtables collection, not params.
+    """
+    from recalgorithm_tpu.serving import quantize as qz
+    from recalgorithm_tpu.utils.benchmarking import loop_step_time_us
+
+    results = {}
+    for b in (128, 4096) if on_tpu else (128,):
+        batch = {k: jnp.asarray(v) for k, v in gen.batch(b, 0).items()}
+        variables = model.init(jax.random.key(0), batch, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        qtables = qz.build_qtables(params)
+        stripped = qz.strip_quantized(params, qtables)
+
+        def make_step(collections):
+            def step(state, bt, rng):
+                keep = state < jnp.float32(1e30)  # always true, never foldable
+                bt = {k: jnp.where(keep, v, 0) for k, v in bt.items()}
+                out, _ = model.apply(
+                    collections, bt, train=False, mutable=["losses"])
+                prob = jax.nn.sigmoid(out["read_comment"])
+                return state + 0.0 * prob[0], jnp.sum(prob)
+            return step
+
+        for name, coll in (
+            ("f32", {"params": params, "batch_stats": batch_stats}),
+            ("int8", {"params": stripped, "batch_stats": batch_stats,
+                      "qtables": qtables}),
+        ):
+            us = loop_step_time_us(
+                make_step(coll), jnp.zeros(()), batch,
+                k_small=8, k_big=72 if on_tpu else 24)
+            results[f"b{b}_us_{name}"] = round(us, 1)
+    results["qtable_bytes"] = qz.quantized_bytes(qtables)
+    print(json.dumps({"metric": "din_serving_forward_quantized", **results}))
+
+
+def retrieval_topk(on_tpu: bool, n: int = 106_444, d: int = 64, b: int = 512):
+    """Exact f32 vs int8-coarse+rescore top-k over a WeChat-sized corpus."""
+    import numpy as np
+
+    from recalgorithm_tpu.serving import retrieval as R
+    from recalgorithm_tpu.serving.quantize import quantize_table
+    from recalgorithm_tpu.utils.benchmarking import loop_step_time_us
+
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    users = rng.standard_normal((b, d)).astype(np.float32)
+    users /= np.linalg.norm(users, axis=1, keepdims=True)
+    cq, cs = quantize_table(corpus)
+    corpus, users = jnp.asarray(corpus), jnp.asarray(users)
+    cq, cs = jnp.asarray(cq), jnp.asarray(cs)
+    k = 100
+
+    def exact_step(state, bt, rng_):
+        u = bt * (1.0 + 1e-30 * state)
+        s, _ = R.brute_force_top_k(u, corpus, k)
+        return state + 0.0 * s[0, 0], jnp.sum(s[:, 0])
+
+    def int8_step(state, bt, rng_):
+        u = bt * (1.0 + 1e-30 * state)
+        s, _ = R.quantized_top_k(u, cq, cs, k)
+        return state + 0.0 * s[0, 0], jnp.sum(s[:, 0])
+
+    ks = dict(k_small=4, k_big=36 if on_tpu else 12)
+    out = {
+        "corpus": n, "dim": d, "batch": b, "k": k,
+        "exact_us": round(loop_step_time_us(
+            exact_step, jnp.zeros(()), users, **ks), 1),
+        "int8_us": round(loop_step_time_us(
+            int8_step, jnp.zeros(()), users, **ks), 1),
+    }
+    print(json.dumps({"metric": "retrieval_topk", **out}))
 
 
 def load_test(model, gen, results, n_clients: int = 32,
