@@ -208,6 +208,16 @@ class WeChatETL:
         os.makedirs(self.tfrecord_dir, exist_ok=True)
         cats = ["userid", "feedid", "device", "authorid", "bgm_song_id",
                 "bgm_singer_id"]
+        out_path = os.path.join(self.tfrecord_dir, fname)
+
+        # native writer first (runtime/cc/tfrecord_writer.cc): byte-identical
+        # output, rows proto-encoded in parallel — the reference's row-by-row
+        # Python writer is its ETL's slowest stage (DataGenerator.py:390-447)
+        try:
+            self._write_tfrecord_native(df, out_path, cats)
+            return
+        except Exception:  # no compiler on this host -> pure-Python twin
+            pass
 
         def payloads():
             for row in df.itertuples(index=False):
@@ -231,7 +241,30 @@ class WeChatETL:
                 }
                 yield tfrecord.encode_sequence_example(context, fl)
 
-        tfrecord.write_records(os.path.join(self.tfrecord_dir, fname), payloads())
+        tfrecord.write_records(out_path, payloads())
+
+    def _write_tfrecord_native(self, df, out_path: str, cats: list) -> None:
+        """Columnar marshal + native parallel encode (loader.
+        write_sequence_examples); exact same bytes as the Python path."""
+        from recalgorithm_tpu.runtime import loader
+
+        enc = lambda v: v.encode() if isinstance(v, str) else b""
+        cat_cols = [[enc(v) for v in df[c].tolist()] for c in cats]
+        seq_cols = []
+        for name in ("his_read_comment_7d_seq", "manual_tag_list"):
+            seq_cols.append([
+                [t.encode() for t in row] if isinstance(row, list) else []
+                for row in df[name].tolist()
+            ])
+        loader.write_sequence_examples(
+            out_path,
+            list(WECHAT_DENSE_NAMES),
+            df[list(WECHAT_DENSE_NAMES)].to_numpy(np.float32),
+            cats, cat_cols,
+            list(WECHAT_LABELS),
+            df[list(WECHAT_LABELS)].to_numpy(np.float32),
+            ["his_read_comment_7d_seq", "manual_tag_list"], seq_cols,
+        )
 
 
 def main():

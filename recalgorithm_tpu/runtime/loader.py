@@ -23,8 +23,11 @@ from recalgorithm_tpu.features.vocab import VocabularyStore
 _CC_DIR = os.path.join(os.path.dirname(__file__), "cc")
 _SRC = os.path.join(_CC_DIR, "tfrecord_reader.cc")
 _SO = os.path.join(_CC_DIR, "libtfrecord_reader.so")
+_SRC_W = os.path.join(_CC_DIR, "tfrecord_writer.cc")
+_SO_W = os.path.join(_CC_DIR, "libtfrecord_writer.so")
 _lock = threading.Lock()
 _lib = None
+_libw = None
 
 
 def _build() -> None:
@@ -70,6 +73,101 @@ def _load() -> ctypes.CDLL:
         ]
         _lib = lib
         return lib
+
+
+def _load_writer() -> ctypes.CDLL:
+    global _libw
+    with _lock:
+        if _libw is not None:
+            return _libw
+        if (not os.path.exists(_SO_W)
+                or os.path.getmtime(_SO_W) < os.path.getmtime(_SRC_W)):
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                 "-o", _SO_W, _SRC_W],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO_W)
+        lib.write_sequence_examples.restype = ctypes.c_int64
+        lib.write_sequence_examples.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+        ]
+        _libw = lib
+        return lib
+
+
+def write_sequence_examples(
+    path: str,
+    dense_names: list[str],
+    dense: "np.ndarray",        # (N, n_dense) f32
+    cat_names: list[str],
+    cat_cols: list[list[bytes]],   # per field, N token-bytes ('' for missing)
+    label_names: list[str],
+    labels: "np.ndarray",       # (N, n_labels) f32
+    seq_names: list[str],
+    seq_cols: list[list[list[bytes]]],  # per field, N lists of token-bytes
+    n_threads: int = 0,
+) -> int:
+    """Native SequenceExample TFRecord writer (runtime/cc/tfrecord_writer.cc).
+
+    Byte-identical to data/tfrecord.encode_sequence_example + write_records
+    with context entries ordered (dense, categorical, labels) — the
+    data/etl.py layout; rows are proto-encoded in parallel threads and
+    written in order.  Returns rows written; raises on failure.
+    """
+    lib = _load_writer()
+    n_rows = int(dense.shape[0]) if len(dense_names) else len(labels)
+    dense = np.ascontiguousarray(dense, np.float32)
+    labels = np.ascontiguousarray(labels, np.float32)
+
+    # categorical tokens, row-major by (row, field)
+    flat_cats: list[bytes] = []
+    for row_toks in zip(*cat_cols) if cat_cols else ():
+        flat_cats.extend(row_toks)
+    cat_lens = np.fromiter(
+        (len(t) for t in flat_cats), np.int64, len(flat_cats))
+    cat_offsets = np.zeros(len(flat_cats) + 1, np.int64)
+    np.cumsum(cat_lens, out=cat_offsets[1:])
+    cat_blob = b"".join(flat_cats)
+
+    # sequence tokens, row-major by (row, field, step)
+    counts = np.empty(n_rows * len(seq_cols) if seq_cols else 0, np.int64)
+    flat_seq: list[bytes] = []
+    i = 0
+    for row_lists in zip(*seq_cols) if seq_cols else ():
+        for toks in row_lists:
+            counts[i] = len(toks)
+            i += 1
+            flat_seq.extend(toks)
+    row_offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=row_offsets[1:])
+    tok_lens = np.fromiter((len(t) for t in flat_seq), np.int64, len(flat_seq))
+    tok_offsets = np.zeros(len(flat_seq) + 1, np.int64)
+    np.cumsum(tok_lens, out=tok_offsets[1:])
+    seq_blob = b"".join(flat_seq)
+
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    as_f32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rows = lib.write_sequence_examples(
+        path.encode(), n_rows,
+        "\n".join(dense_names).encode(), len(dense_names), as_f32(dense),
+        "\n".join(cat_names).encode(), len(cat_names), cat_blob,
+        as_i64(cat_offsets),
+        "\n".join(label_names).encode(), len(label_names), as_f32(labels),
+        "\n".join(seq_names).encode(), len(seq_names), seq_blob,
+        as_i64(tok_offsets), as_i64(row_offsets),
+        n_threads,
+    )
+    if rows != n_rows:
+        raise IOError(f"native writer failed on {path} ({rows}/{n_rows})")
+    return int(rows)
 
 
 def _count_records(path: str) -> int:
