@@ -1,0 +1,189 @@
+"""HTTP model server: `python -m recalgorithm_tpu.cli.serve --model DIN ...`
+
+The reference's deployment story is "SavedModel for tf-serving"
+(reference README.md:8); this is the built-in TPU-native equivalent — a
+standalone JSON/HTTP server over the best export, with TF-Serving's core
+runtime feature (dynamic request batching, serving/server.py) and optional
+int8 table quantization (serving/quantize.py).
+
+    POST /predict   {"userid": 12, "feedid": "feedid_987", "dense": [...],
+                     "his_read_comment_7d_seq": [3, 17, ...]}
+                ->  {"predictions": {"read_comment": 0.031, ...}}
+    GET  /healthz   "ok"
+
+Features may be pre-translated int ids (the framework's standard serving
+input) or raw string tokens when --vocabulary_dir is given (host-side
+translation, same as training).  Missing features default to 0 / PAD —
+`tf.Example` absent-feature semantics.  Sequences are truncated/padded to
+the schema's max length and their `*_len` columns derived automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_example(schema, payload, vocabs=None) -> dict[str, np.ndarray]:
+    """One JSON feature dict -> one framework example (unbatched arrays)."""
+
+    def to_id(field, v):
+        if isinstance(v, str):
+            if vocabs is None:
+                raise ValueError(
+                    f"{field.name}: string token {v!r} needs --vocabulary_dir"
+                )
+            return vocabs[field.vocab].lookup(v)
+        return int(v)
+
+    ex: dict[str, np.ndarray] = {}
+    dense = np.zeros(len(schema.dense), np.float32)
+    if "dense" in payload:
+        vals = np.asarray(payload["dense"], np.float32)
+        dense[: len(vals)] = vals
+    else:
+        for i, f in enumerate(schema.dense):
+            if f.name in payload:
+                dense[i] = float(payload[f.name])
+    ex["dense"] = dense
+    for f in schema.categorical:
+        ex[f.name] = np.int32(to_id(f, payload.get(f.name, 0)))
+    for f in schema.sequence:
+        toks = payload.get(f.name, []) or []
+        ids = [to_id(f, t) for t in toks][: f.max_length]
+        arr = np.zeros(f.max_length, np.int32)
+        arr[: len(ids)] = ids
+        ex[f.name] = arr
+        ex[f.name + "_len"] = np.int32(len(ids))
+    return ex
+
+
+def build_handler(batching, schema, vocabs=None, timeout_s: float = 30.0):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def _send(self, code: int, body: dict | str):
+            data = (body if isinstance(body, str) else json.dumps(body)).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json"
+                             if not isinstance(body, str) else "text/plain")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, "ok")
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                ex = make_example(schema, payload, vocabs)
+                out = batching.predict_async(ex).result(timeout=timeout_s)
+                preds = {
+                    t: (v if np.ndim(v) == 0 else np.asarray(v).tolist())
+                    for t, v in out.items()
+                }
+                self._send(200, {"predictions": preds})
+            except Exception as exc:  # one bad request never kills the server
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def build_server(args) -> tuple[ThreadingHTTPServer, object]:
+    """Construct (httpd, batching) from parsed args; caller serves/closes."""
+    from recalgorithm_tpu.cli.main import _add_dataclass_flags  # noqa: F401
+    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+    from recalgorithm_tpu.serving.predictor import Predictor
+    from recalgorithm_tpu.serving.server import BatchingPredictor
+
+    vocabs = None
+    if args.vocabulary_dir:
+        from recalgorithm_tpu.features.vocab import VocabularyStore
+
+        vocabs = VocabularyStore.from_dir(args.vocabulary_dir)
+        schema = wechat_schema(vocabs.sizes())
+    else:
+        from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+
+        gen = SyntheticWeChat(
+            wechat_schema(),
+            SyntheticConfig(seed=0, vocab_scale=args.synthetic_vocab_scale),
+        )
+        schema = wechat_schema(gen.vocab_sizes())
+
+    cfg_cls, model_cls = MODEL_REGISTRY[args.model]
+    import dataclasses
+
+    cfg_kwargs = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(cfg_cls) if hasattr(args, f.name)
+    }
+    model = model_cls(config=cfg_cls(**cfg_kwargs), schema=schema)
+    export_dir = args.export_dir or Predictor.latest_best(args.model_dir)
+    pred = Predictor(model, export_dir, quantize=args.quantize)
+    batching = BatchingPredictor(
+        pred, max_batch_size=args.max_batch_size,
+        max_delay_ms=args.max_delay_ms,
+    )
+    batching.warmup(make_example(schema, {}, vocabs))
+    handler = build_handler(batching, schema, vocabs)
+    httpd = ThreadingHTTPServer((args.host, args.port), handler)
+    return httpd, batching
+
+
+def main(argv=None):
+    from recalgorithm_tpu.cli.main import _add_dataclass_flags
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--model", required=True, choices=sorted(MODEL_REGISTRY))
+    pre_args, _ = pre.parse_known_args(argv)
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True, choices=sorted(MODEL_REGISTRY))
+    p.add_argument("--model_dir", default="./model_dir",
+                   help="training dir; serves its best export")
+    p.add_argument("--export_dir", default=None,
+                   help="explicit export directory (overrides --model_dir)")
+    p.add_argument("--vocabulary_dir", default=None,
+                   help="enables raw string tokens in requests")
+    p.add_argument("--synthetic_vocab_scale", type=float, default=0.01,
+                   help="schema sizing when no vocabulary_dir (smoke runs)")
+    p.add_argument("--quantize", action="store_true",
+                   help="serve embedding tables as per-row int8")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8377)
+    p.add_argument("--max_batch_size", type=int, default=256)
+    p.add_argument("--max_delay_ms", type=float, default=2.0)
+    _add_dataclass_flags(p, MODEL_REGISTRY[pre_args.model][0])
+    args = p.parse_args(argv)
+
+    httpd, batching = build_server(args)
+    print(f"serving {args.model} on http://{args.host}:{args.port} "
+          f"(quantize={args.quantize})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        batching.close()
+
+
+if __name__ == "__main__":
+    main()

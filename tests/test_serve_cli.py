@@ -1,0 +1,123 @@
+"""HTTP serving CLI (cli/serve.py): request coercion, server round trip,
+parity with direct prediction, bad-request isolation."""
+
+import argparse
+import json
+import os
+import threading
+import urllib.request
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+from recalgorithm_tpu.features.schema import wechat_schema
+from recalgorithm_tpu.models.deepfm import DeepFM, DeepFMConfig
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=5, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepFMConfig(hidden_units=(16,), batch_size=32)
+    model = DeepFM(config=cfg, schema=schema)
+    batch = {k: jnp.asarray(v) for k, v in gen.batch(32, 0).items()}
+    variables = model.init(jax.random.key(0), batch, train=False)
+    export_dir = str(tmp / "export")
+    os.makedirs(export_dir)
+    with open(os.path.join(export_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}))
+
+    from recalgorithm_tpu.cli.serve import build_server
+
+    args = argparse.Namespace(
+        model="DeepFM", model_dir=str(tmp), export_dir=export_dir,
+        vocabulary_dir=None, synthetic_vocab_scale=0.002, quantize=False,
+        host="127.0.0.1", port=0, max_batch_size=32, max_delay_ms=1.0,
+        hidden_units=(16,), batch_size=32,
+    )
+    httpd, batching = build_server(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield url, gen, schema, model, variables
+    httpd.shutdown()
+    batching.close()
+
+
+def _post(url, payload, timeout=60):
+    req = urllib.request.Request(
+        url + "/predict", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(served):
+    url = served[0]
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert r.status == 200
+
+
+def test_predict_matches_direct(served):
+    url, gen, schema, model, variables = served
+    hb = gen.batch(8, 3)
+    # direct forward on row 0
+    logits, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        {k: jnp.asarray(v) for k, v in hb.items()}, train=False,
+        mutable=["losses"],
+    )
+    want = float(jax.nn.sigmoid(logits["read_comment"])[0])
+
+    payload = {
+        "dense": np.asarray(hb["dense"])[0].tolist(),
+        **{f.name: int(np.asarray(hb[f.name])[0]) for f in schema.categorical},
+        **{f.name: np.asarray(hb[f.name])[0][
+               : int(np.asarray(hb[f.name + "_len"])[0])].tolist()
+           for f in schema.sequence},
+    }
+    status, out = _post(url, payload)
+    assert status == 200, out
+    got = out["predictions"]["read_comment"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_predict_defaults_and_bad_request(served):
+    url = served[0]
+    status, out = _post(url, {})  # all-PAD example is valid
+    assert status == 200 and 0.0 <= out["predictions"]["read_comment"] <= 1.0
+    # string token without a vocabulary -> clean 400, server stays up
+    status, out = _post(url, {"userid": "userid_123"})
+    assert status == 400 and "error" in out
+    status, _ = _post(url, {})
+    assert status == 200
+
+
+def test_make_example_coercion():
+    from recalgorithm_tpu.cli.serve import make_example
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=1, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    seq = schema.sequence[0]
+    ex = make_example(schema, {
+        "userid": 7,
+        seq.name: list(range(1, seq.max_length + 10)),  # over-long: truncated
+        "videoplayseconds": 3.5,
+    })
+    assert ex["userid"] == 7
+    assert ex[seq.name].shape == (seq.max_length,)
+    assert int(ex[seq.name + "_len"]) == seq.max_length
+    assert ex["dense"][0] == np.float32(3.5)
+    assert ex["dense"].shape == (len(schema.dense),)
