@@ -116,6 +116,15 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
                              "scatter (on by default single-chip; dense "
                              "batches auto-dispatch to the plain step)")
     parser.add_argument("--predictions_csv", default="predictions.csv")
+    parser.add_argument("--export_stablehlo", default=None,
+                        help="after training, write a hermetic StableHLO "
+                        "serving artifact (ids -> probabilities) here")
+    parser.add_argument("--export_quantized", action="store_true",
+                        help="quantize embedding tables to per-row int8 in "
+                        "the StableHLO artifact (~4x smaller)")
+    parser.add_argument("--serving_batch_size", type=int, default=0,
+                        help="batch size baked into the StableHLO export "
+                        "(0 = training batch size)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of training here")
@@ -319,6 +328,25 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                 row += [f"{v:g}" for v in eval_labels[i]]
             writer.writerow(row)
     print(f"wrote {args.predictions_csv}")
+
+    # ---- hermetic serving artifact (reference exports a SavedModel at the
+    # end of every run; here: StableHLO, runnable by any PJRT runtime)
+    if args.export_stablehlo and jax.process_index() == 0:
+        from recalgorithm_tpu.serving.export import export_stablehlo
+        from recalgorithm_tpu.train.loop import _gather_to_host
+
+        variables = _gather_to_host(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        export_stablehlo(
+            model, variables, schema,
+            batch_size=args.serving_batch_size or cfg.batch_size,
+            out_path=args.export_stablehlo,
+            quantize_embeddings=args.export_quantized,
+        )
+        print(f"wrote {args.export_stablehlo} "
+              f"({os.path.getsize(args.export_stablehlo)} bytes, "
+              f"quantized={args.export_quantized})")
     return final_eval
 
 
