@@ -172,6 +172,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         eval_fn = lambda: gen.batches(cfg.batch_size, 16, start_seed=10_000_000)
         eval_labels = None
         eval_ids = {}
+        eval_groups = None
     else:
         from recalgorithm_tpu.data import pipeline
         from recalgorithm_tpu.features.vocab import VocabularyStore
@@ -225,6 +226,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             eval_arrays, cfg.batch_size, num_epochs=1, shuffle=False
         )
         eval_labels = eval_arrays.labels
+        eval_groups = eval_arrays.categorical.get("userid")
         eval_ids = {}
         # Original string tokens for the id columns, via the inverse vocab —
         # the reference joins predictions with the raw test CSV so
@@ -294,7 +296,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
     # binned metric matches tf.metrics.auc for comparability, the exact one
     # is the ground truth it approximates (train/metrics.py:exact_auc).
     if eval_labels is not None:
-        from recalgorithm_tpu.train.metrics import exact_auc
+        from recalgorithm_tpu.train.metrics import exact_auc, grouped_auc
 
         label_idx = {name: i for i, name in enumerate(schema.labels)}
         for t in cfg.task_names:
@@ -302,6 +304,14 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                 v = exact_auc(eval_labels[:, label_idx[t]], probs[t])
                 final_eval[f"{t}_exact_auc"] = v
                 print(f"{t}_exact_auc: {v}")
+                # per-user GAUC (DIN paper KDD'18 §6.1; reference reports
+                # only global AUC) — users come from the eval id columns
+                if eval_groups is not None and len(eval_groups) == len(probs[t]):
+                    g = grouped_auc(
+                        eval_labels[:, label_idx[t]], probs[t], eval_groups
+                    )
+                    final_eval[f"{t}_gauc"] = g
+                    print(f"{t}_gauc: {g}")
 
     import csv
 

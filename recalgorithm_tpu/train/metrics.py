@@ -102,6 +102,37 @@ def exact_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     return float((pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
 
 
+def grouped_auc(
+    labels: np.ndarray, scores: np.ndarray, groups: np.ndarray
+) -> float:
+    """GAUC: impression-weighted mean of per-group (per-user) AUCs.
+
+    The DIN paper's evaluation metric (Zhou et al., KDD'18 §6.1): ranking
+    quality *within* each user's impressions, weighted by the user's
+    impression count; single-class groups (all-positive / all-negative)
+    carry no ranking information and are excluded from both numerator and
+    weight mass — the standard GAUC convention.  Host-side, final-eval
+    companion to `exact_auc` (the reference reports only global AUC).
+    """
+    labels = np.asarray(labels).astype(np.float64).ravel()
+    scores = np.asarray(scores).astype(np.float64).ravel()
+    groups = np.asarray(groups).ravel()
+    order = np.argsort(groups, kind="mergesort")
+    labels, scores, groups = labels[order], scores[order], groups[order]
+    starts = np.flatnonzero(np.r_[True, groups[1:] != groups[:-1]])
+    bounds = np.r_[starts, len(groups)]
+    total_w = 0.0
+    total = 0.0
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        y = labels[lo:hi]
+        n_pos = y.sum()
+        if n_pos == 0 or n_pos == len(y):
+            continue
+        total += (hi - lo) * exact_auc(y, scores[lo:hi])
+        total_w += hi - lo
+    return float(total / total_w) if total_w else float("nan")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ScalarMeanState:

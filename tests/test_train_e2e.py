@@ -385,3 +385,25 @@ def test_eval_reports_logloss_and_calibration(setup):
         ev["read_comment_calibration"], p.mean() / y.mean(), rtol=2e-3
     )
     assert 0.2 < ev["read_comment_calibration"] < 5.0
+
+
+def test_grouped_auc_oracle():
+    """GAUC equals the impression-weighted mean of per-user exact AUCs;
+    single-class users are excluded from numerator and weight mass."""
+    from recalgorithm_tpu.train.metrics import exact_auc, grouped_auc
+
+    groups = np.array([1, 1, 1, 2, 2, 3, 3, 3, 3])
+    labels = np.array([1, 0, 0, 1, 1, 0, 1, 0, 1], np.float64)  # user 2: all-pos
+    scores = np.array([.9, .2, .4, .8, .7, .1, .6, .5, .3], np.float64)
+    want = (3 * exact_auc(labels[:3], scores[:3])
+            + 4 * exact_auc(labels[5:], scores[5:])) / 7
+    np.testing.assert_allclose(grouped_auc(labels, scores, groups), want)
+    # unsorted group order gives the same result
+    perm = np.random.default_rng(0).permutation(len(groups))
+    np.testing.assert_allclose(
+        grouped_auc(labels[perm], scores[perm], groups[perm]), want)
+    # all single-class -> nan
+    assert np.isnan(grouped_auc(np.ones(4), scores[:4], np.array([1, 1, 2, 2])))
+    # one user == global AUC
+    np.testing.assert_allclose(
+        grouped_auc(labels, scores, np.zeros(9)), exact_auc(labels, scores))
