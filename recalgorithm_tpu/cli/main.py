@@ -305,10 +305,15 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                 final_eval[f"{t}_exact_auc"] = v
                 print(f"{t}_exact_auc: {v}")
                 # per-user GAUC (DIN paper KDD'18 §6.1; reference reports
-                # only global AUC) — users come from the eval id columns
+                # only global AUC).  OOV users all translate to id 0 and
+                # would otherwise merge into one pseudo-user whose pooled
+                # impressions rank against each other — exclude them.
                 if eval_groups is not None and len(eval_groups) == len(probs[t]):
+                    known = np.asarray(eval_groups) > 0
                     g = grouped_auc(
-                        eval_labels[:, label_idx[t]], probs[t], eval_groups
+                        eval_labels[known, label_idx[t]],
+                        np.asarray(probs[t])[known],
+                        np.asarray(eval_groups)[known],
                     )
                     final_eval[f"{t}_gauc"] = g
                     print(f"{t}_gauc: {g}")
@@ -341,22 +346,27 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
 
     # ---- hermetic serving artifact (reference exports a SavedModel at the
     # end of every run; here: StableHLO, runnable by any PJRT runtime)
-    if args.export_stablehlo and jax.process_index() == 0:
+    if args.export_stablehlo:
         from recalgorithm_tpu.serving.export import export_stablehlo
         from recalgorithm_tpu.train.loop import _gather_to_host
 
+        # the gather is a COLLECTIVE (process_allgather) — every process
+        # must enter it; only the file write is gated on process 0
+        # (same pattern as the best exporter, train/loop.py _gather_to_host
+        # callers)
         variables = _gather_to_host(
             {"params": state.params, "batch_stats": state.batch_stats}
         )
-        export_stablehlo(
-            model, variables, schema,
-            batch_size=args.serving_batch_size or cfg.batch_size,
-            out_path=args.export_stablehlo,
-            quantize_embeddings=args.export_quantized,
-        )
-        print(f"wrote {args.export_stablehlo} "
-              f"({os.path.getsize(args.export_stablehlo)} bytes, "
-              f"quantized={args.export_quantized})")
+        if jax.process_index() == 0:
+            export_stablehlo(
+                model, variables, schema,
+                batch_size=args.serving_batch_size or cfg.batch_size,
+                out_path=args.export_stablehlo,
+                quantize_embeddings=args.export_quantized,
+            )
+            print(f"wrote {args.export_stablehlo} "
+                  f"({os.path.getsize(args.export_stablehlo)} bytes, "
+                  f"quantized={args.export_quantized})")
     return final_eval
 
 

@@ -86,25 +86,31 @@ def build_handler(batching, schema, vocabs=None, timeout_s: float = 30.0):
             if self.path != "/predict":
                 self._send(404, {"error": "unknown path"})
                 return
+            # input-shaped failures (JSON, coercion) -> 400; anything after
+            # the example is enqueued (timeout, worker fault) is a SERVER
+            # error -> 500, so monitoring/retry policy sees the outage
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 ex = make_example(schema, payload, vocabs)
+            except Exception as exc:
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            try:
                 out = batching.predict_async(ex).result(timeout=timeout_s)
                 preds = {
                     t: (v if np.ndim(v) == 0 else np.asarray(v).tolist())
                     for t, v in out.items()
                 }
                 self._send(200, {"predictions": preds})
-            except Exception as exc:  # one bad request never kills the server
-                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+            except Exception as exc:  # never kills the server
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
     return Handler
 
 
 def build_server(args) -> tuple[ThreadingHTTPServer, object]:
     """Construct (httpd, batching) from parsed args; caller serves/closes."""
-    from recalgorithm_tpu.cli.main import _add_dataclass_flags  # noqa: F401
     from recalgorithm_tpu.features.schema import wechat_schema
     from recalgorithm_tpu.models import MODEL_REGISTRY
     from recalgorithm_tpu.serving.predictor import Predictor

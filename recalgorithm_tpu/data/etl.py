@@ -216,8 +216,14 @@ class WeChatETL:
         try:
             self._write_tfrecord_native(df, out_path, cats)
             return
-        except Exception:  # no compiler on this host -> pure-Python twin
-            pass
+        except Exception as exc:  # no compiler on this host -> Python twin
+            # never silent: a real writer defect must surface, not hide
+            # behind a 13x-slower successful run
+            import sys
+
+            print(f"native TFRecord writer unavailable "
+                  f"({type(exc).__name__}: {exc}); using the pure-Python "
+                  f"writer", file=sys.stderr)
 
         def payloads():
             for row in df.itertuples(index=False):
@@ -243,28 +249,34 @@ class WeChatETL:
 
         tfrecord.write_records(out_path, payloads())
 
-    def _write_tfrecord_native(self, df, out_path: str, cats: list) -> None:
+    def _write_tfrecord_native(self, df, out_path: str, cats: list,
+                               chunk_rows: int = 200_000) -> None:
         """Columnar marshal + native parallel encode (loader.
-        write_sequence_examples); exact same bytes as the Python path."""
+        write_sequence_examples); exact same bytes as the Python path.
+        Marshals and writes in ``chunk_rows`` df chunks so peak RAM is one
+        chunk's token encodings, not the whole split's."""
         from recalgorithm_tpu.runtime import loader
 
         enc = lambda v: v.encode() if isinstance(v, str) else b""
-        cat_cols = [[enc(v) for v in df[c].tolist()] for c in cats]
-        seq_cols = []
-        for name in ("his_read_comment_7d_seq", "manual_tag_list"):
-            seq_cols.append([
-                [t.encode() for t in row] if isinstance(row, list) else []
-                for row in df[name].tolist()
-            ])
-        loader.write_sequence_examples(
-            out_path,
-            list(WECHAT_DENSE_NAMES),
-            df[list(WECHAT_DENSE_NAMES)].to_numpy(np.float32),
-            cats, cat_cols,
-            list(WECHAT_LABELS),
-            df[list(WECHAT_LABELS)].to_numpy(np.float32),
-            ["his_read_comment_7d_seq", "manual_tag_list"], seq_cols,
-        )
+        for start in range(0, max(len(df), 1), chunk_rows):
+            part = df.iloc[start:start + chunk_rows]
+            cat_cols = [[enc(v) for v in part[c].tolist()] for c in cats]
+            seq_cols = []
+            for name in ("his_read_comment_7d_seq", "manual_tag_list"):
+                seq_cols.append([
+                    [t.encode() for t in row] if isinstance(row, list) else []
+                    for row in part[name].tolist()
+                ])
+            loader.write_sequence_examples(
+                out_path,
+                list(WECHAT_DENSE_NAMES),
+                part[list(WECHAT_DENSE_NAMES)].to_numpy(np.float32),
+                cats, cat_cols,
+                list(WECHAT_LABELS),
+                part[list(WECHAT_LABELS)].to_numpy(np.float32),
+                ["his_read_comment_7d_seq", "manual_tag_list"], seq_cols,
+                append=start > 0,
+            )
 
 
 def main():

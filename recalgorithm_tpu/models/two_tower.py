@@ -142,7 +142,10 @@ class TwoTower(nn.Module):
         v = self.item_embedding(batch, train)
         logit = jnp.sum(u * v, axis=-1) / cfg.temperature  # (B,)
 
-        if cfg.softmax_weight > 0:
+        # the sampled-softmax auxiliary loss needs labels — present in
+        # training batches but absent at serving (cli/serve.py requests,
+        # StableHLO export specs strip them); serving wants only the logit
+        if cfg.softmax_weight > 0 and "labels" in batch:
             scores = (u @ v.T) / cfg.temperature  # (B, B)
             feed = batch["feedid"].reshape(-1)
             if cfg.logq_correction:

@@ -144,6 +144,8 @@ extern "C" {
 //           .. [row*n_seq+f+1] indexing seq_tok_offsets, which bounds each
 //           token's bytes in seq_blob; one FeatureList with a single-value
 //           bytes Feature per step.
+//   append: 0 truncates, 1 appends — the Python binding streams the file in
+//           bounded row chunks so RAM stays O(chunk), not O(split).
 // Returns rows written, or -1 on I/O failure.
 int64_t write_sequence_examples(
     const char* path, int64_t n_rows,
@@ -153,7 +155,7 @@ int64_t write_sequence_examples(
     const char* label_names_joined, int32_t n_labels, const float* labels,
     const char* seq_names_joined, int32_t n_seq, const char* seq_blob,
     const int64_t* seq_tok_offsets, const int64_t* seq_row_offsets,
-    int32_t n_threads) {
+    int32_t n_threads, int32_t append) {
   crc_init();
   const auto dense_names = split_names(dense_names_joined);
   const auto cat_names = split_names(cat_names_joined);
@@ -246,7 +248,7 @@ int64_t write_sequence_examples(
     for (auto& th : pool) th.join();
   }
 
-  FILE* f = fopen(path, "wb");
+  FILE* f = fopen(path, append ? "ab" : "wb");
   if (!f) return -1;
   for (const auto& rec : framed) {
     if (fwrite(rec.data(), 1, rec.size(), f) != rec.size()) {

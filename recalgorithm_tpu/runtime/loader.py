@@ -97,7 +97,7 @@ def _load_writer() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
         ]
         _libw = lib
         return lib
@@ -114,60 +114,75 @@ def write_sequence_examples(
     seq_names: list[str],
     seq_cols: list[list[list[bytes]]],  # per field, N lists of token-bytes
     n_threads: int = 0,
+    chunk_rows: int = 200_000,
+    append: bool = False,
 ) -> int:
     """Native SequenceExample TFRecord writer (runtime/cc/tfrecord_writer.cc).
 
     Byte-identical to data/tfrecord.encode_sequence_example + write_records
     with context entries ordered (dense, categorical, labels) — the
-    data/etl.py layout; rows are proto-encoded in parallel threads and
-    written in order.  Returns rows written; raises on failure.
+    data/etl.py layout.  The file is streamed in ``chunk_rows`` chunks
+    (marshal + parallel proto-encode + append per chunk) so peak RAM is
+    O(chunk), not O(split).  Returns rows written; raises on failure.
     """
     lib = _load_writer()
     n_rows = int(dense.shape[0]) if len(dense_names) else len(labels)
     dense = np.ascontiguousarray(dense, np.float32)
     labels = np.ascontiguousarray(labels, np.float32)
-
-    # categorical tokens, row-major by (row, field)
-    flat_cats: list[bytes] = []
-    for row_toks in zip(*cat_cols) if cat_cols else ():
-        flat_cats.extend(row_toks)
-    cat_lens = np.fromiter(
-        (len(t) for t in flat_cats), np.int64, len(flat_cats))
-    cat_offsets = np.zeros(len(flat_cats) + 1, np.int64)
-    np.cumsum(cat_lens, out=cat_offsets[1:])
-    cat_blob = b"".join(flat_cats)
-
-    # sequence tokens, row-major by (row, field, step)
-    counts = np.empty(n_rows * len(seq_cols) if seq_cols else 0, np.int64)
-    flat_seq: list[bytes] = []
-    i = 0
-    for row_lists in zip(*seq_cols) if seq_cols else ():
-        for toks in row_lists:
-            counts[i] = len(toks)
-            i += 1
-            flat_seq.extend(toks)
-    row_offsets = np.zeros(len(counts) + 1, np.int64)
-    np.cumsum(counts, out=row_offsets[1:])
-    tok_lens = np.fromiter((len(t) for t in flat_seq), np.int64, len(flat_seq))
-    tok_offsets = np.zeros(len(flat_seq) + 1, np.int64)
-    np.cumsum(tok_lens, out=tok_offsets[1:])
-    seq_blob = b"".join(flat_seq)
-
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     as_f32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-    rows = lib.write_sequence_examples(
-        path.encode(), n_rows,
-        "\n".join(dense_names).encode(), len(dense_names), as_f32(dense),
-        "\n".join(cat_names).encode(), len(cat_names), cat_blob,
-        as_i64(cat_offsets),
-        "\n".join(label_names).encode(), len(label_names), as_f32(labels),
-        "\n".join(seq_names).encode(), len(seq_names), seq_blob,
-        as_i64(tok_offsets), as_i64(row_offsets),
-        n_threads,
-    )
-    if rows != n_rows:
-        raise IOError(f"native writer failed on {path} ({rows}/{n_rows})")
-    return int(rows)
+
+    done = 0
+    while done < n_rows or n_rows == 0:
+        lo, hi = done, min(done + max(chunk_rows, 1), n_rows)
+        n_chunk = hi - lo
+
+        # categorical tokens, row-major by (row, field)
+        flat_cats: list[bytes] = []
+        for row_toks in zip(*(c[lo:hi] for c in cat_cols)) if cat_cols else ():
+            flat_cats.extend(row_toks)
+        cat_lens = np.fromiter(
+            (len(t) for t in flat_cats), np.int64, len(flat_cats))
+        cat_offsets = np.zeros(len(flat_cats) + 1, np.int64)
+        np.cumsum(cat_lens, out=cat_offsets[1:])
+        cat_blob = b"".join(flat_cats)
+
+        # sequence tokens, row-major by (row, field, step)
+        counts = np.empty(n_chunk * len(seq_cols) if seq_cols else 0, np.int64)
+        flat_seq: list[bytes] = []
+        i = 0
+        for row_lists in zip(*(c[lo:hi] for c in seq_cols)) if seq_cols else ():
+            for toks in row_lists:
+                counts[i] = len(toks)
+                i += 1
+                flat_seq.extend(toks)
+        row_offsets = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=row_offsets[1:])
+        tok_lens = np.fromiter(
+            (len(t) for t in flat_seq), np.int64, len(flat_seq))
+        tok_offsets = np.zeros(len(flat_seq) + 1, np.int64)
+        np.cumsum(tok_lens, out=tok_offsets[1:])
+        seq_blob = b"".join(flat_seq)
+
+        rows = lib.write_sequence_examples(
+            path.encode(), n_chunk,
+            "\n".join(dense_names).encode(), len(dense_names),
+            as_f32(dense[lo:hi] if len(dense_names) else dense),
+            "\n".join(cat_names).encode(), len(cat_names), cat_blob,
+            as_i64(cat_offsets),
+            "\n".join(label_names).encode(), len(label_names),
+            as_f32(labels[lo:hi] if len(label_names) else labels),
+            "\n".join(seq_names).encode(), len(seq_names), seq_blob,
+            as_i64(tok_offsets), as_i64(row_offsets),
+            n_threads, 1 if (done or append) else 0,
+        )
+        if rows != n_chunk:
+            raise IOError(f"native writer failed on {path} ({rows}/{n_chunk} "
+                          f"at row {lo})")
+        done = hi
+        if n_rows == 0:
+            break
+    return n_rows
 
 
 def _count_records(path: str) -> int:

@@ -108,9 +108,11 @@ def test_native_writer_byte_identical():
 
     py_path, cc_path = "/tmp/wtest_py.tfrecord", "/tmp/wtest_cc.tfrecord"
     tfrecord.write_records(py_path, payloads())
+    # chunk_rows=100 over 257 rows: 3 uneven append chunks, threaded encode
     rows = loader.write_sequence_examples(
         cc_path, dense_names, dense, cat_names, cat_cols,
-        label_names, labels, seq_names, seq_cols, n_threads=3)
+        label_names, labels, seq_names, seq_cols, n_threads=3,
+        chunk_rows=100)
     assert rows == n
     with open(py_path, "rb") as a, open(cc_path, "rb") as b:
         assert a.read() == b.read()
