@@ -22,7 +22,7 @@ import flax.linen as nn
 from recalgorithm_tpu.features.schema import Schema
 from recalgorithm_tpu.models import common
 from recalgorithm_tpu.models.din import DIN_CATEGORY_FIELDS
-from recalgorithm_tpu.ops.attention import BSTTransformerBlock
+from recalgorithm_tpu.ops.attention import BSTTransformerBlock, resolve_fused
 from recalgorithm_tpu.ops.mlp import Dense
 
 
@@ -35,7 +35,8 @@ class BSTConfig(common.TrainFlags):
     num_transformer_block: int = 1
     num_transformer_heads: int = 3
     pooling_method: str = "sum"  # {'sum', 'mean'}
-    use_fused_attention: bool = False  # Pallas MHA core (TPU)
+    # Pallas MHA core: "auto" = on for TPU backends (resolve_fused)
+    use_fused_attention: str = "auto"
     save_attn_bf16: bool = False  # bf16 saved attention probs (fused path)
     kernel_layout_attn: bool = False  # (H,T*d,B)-layout kernel boundary
     attn_interpret: bool = False  # run the Pallas kernel interpreted (CPU debug)
@@ -65,7 +66,7 @@ class BST(nn.Module):
             x = BSTTransformerBlock(
                 num_heads=cfg.num_transformer_heads,
                 max_length=cfg.sequence_max_length + 1,
-                fused=cfg.use_fused_attention,
+                fused=resolve_fused(cfg.use_fused_attention),
                 save_attn_bf16=cfg.save_attn_bf16,
                 kernel_layout=cfg.kernel_layout_attn,
                 interpret=cfg.attn_interpret,

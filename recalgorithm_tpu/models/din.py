@@ -21,7 +21,7 @@ import flax.linen as nn
 from recalgorithm_tpu.features.schema import Schema
 from recalgorithm_tpu.models import common
 from recalgorithm_tpu.ops.activations import Dice, PReLU
-from recalgorithm_tpu.ops.attention import DINAttention
+from recalgorithm_tpu.ops.attention import DINAttention, resolve_fused
 from recalgorithm_tpu.ops.mlp import Dense
 
 DIN_CATEGORY_FIELDS = [
@@ -43,7 +43,9 @@ class DINConfig(common.TrainFlags):
     mini_batch_aware_regularization: bool = True
     l2_lambda: float = 0.2
     use_softmax: bool = False
-    use_fused_attention: bool = False  # Pallas kernel (TPU; small full-step win)
+    # Pallas kernel: "auto" = on for TPU backends (resolve_fused), off on
+    # CPU/GPU; "true"/"false"/bool overrides
+    use_fused_attention: str = "auto"
     attn_interpret: bool = False  # run the Pallas kernel interpreted (CPU debug)
     task_names: tuple[str, ...] = ("read_comment",)
 
@@ -93,7 +95,7 @@ class DIN(nn.Module):
         lengths = batch["his_read_comment_7d_seq_len"]
         attention = DINAttention(
             use_softmax=cfg.use_softmax,
-            fused=cfg.use_fused_attention,
+            fused=resolve_fused(cfg.use_fused_attention),
             interpret=cfg.attn_interpret,
             name="attention",
         )(target, seq, lengths)

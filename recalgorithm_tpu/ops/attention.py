@@ -25,6 +25,20 @@ def sequence_mask(lengths: jax.Array, max_len: int) -> jax.Array:
     return pos < lengths[:, None]
 
 
+def resolve_fused(flag) -> bool:
+    """'auto' (the config default) -> Pallas kernels on TPU backends, plain
+    XLA elsewhere; explicit bool / 'true' / 'false' wins.  CLI users on a
+    real chip get the fused path without knowing the flag exists."""
+    if isinstance(flag, bool):
+        return flag
+    s = str(flag).lower()
+    if s == "auto":
+        import jax
+
+        return jax.default_backend() not in ("cpu", "gpu")
+    return s in ("true", "1", "yes")
+
+
 class DINAttention(nn.Module):
     """DIN target-vs-history attention pooling (reference din_attention.py:4-43).
 
