@@ -85,6 +85,19 @@ if pid == 0:
     # full-shape check: the feedid table is whole, not a shard
     emb = tree["params"]["FieldEmbedder_0"]["embed"]["feedid"]
     print("EXPORT_ROWS", _np.asarray(emb).shape[0])
+
+# StableHLO export under multi-process (the cli/main --export_stablehlo
+# pattern): the host gather is a COLLECTIVE — every process must enter it,
+# only process 0 writes.  Regression for the round-3 review finding where
+# the gather sat inside the process-0 guard and deadlocked.
+from recalgorithm_tpu.train.loop import _gather_to_host
+from recalgorithm_tpu.serving.export import export_stablehlo
+variables = _gather_to_host({"params": state.params,
+                             "batch_stats": state.batch_stats})
+if pid == 0:
+    hlo_path = os.path.join(export_root, "model.stablehlo")
+    export_stablehlo(model, variables, schema, batch_size=8, out_path=hlo_path)
+    print("HLO_BYTES", os.path.getsize(hlo_path))
 """
 
 
@@ -146,5 +159,9 @@ def test_two_process_training_matches_single_process(tmp_path):
     # exactly the whole ROW_ALIGN-padded feedid table (vocab_scale 0.003 ->
     # 319 ids -> 512 padded rows): not a shard (64), not doubled (1024)
     assert rows == 512, rows
+    # the 2-process StableHLO export completed without deadlock and wrote
+    # a non-empty artifact
+    assert "HLO_BYTES" in proc0, proc0[-500:]
+    assert int(proc0.strip().split("HLO_BYTES")[-1].split()[0]) > 10_000
     # and match a single-process 8-device run on the same stream
     np.testing.assert_allclose(losses[0], _single_process_loss(), rtol=1e-4)
