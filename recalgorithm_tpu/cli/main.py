@@ -116,6 +116,10 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
                              "scatter (on by default single-chip; dense "
                              "batches auto-dispatch to the plain step)")
     parser.add_argument("--predictions_csv", default="predictions.csv")
+    parser.add_argument("--eval_recall_at", type=int, default=0,
+                        help="for retrieval models (TwoTower): after "
+                        "training, build the item corpus from the eval "
+                        "split and report Recall@K at this K")
     parser.add_argument("--export_stablehlo", default=None,
                         help="after training, write a hermetic StableHLO "
                         "serving artifact (ids -> probabilities) here")
@@ -343,6 +347,26 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                 row += [f"{v:g}" for v in eval_labels[i]]
             writer.writerow(row)
     print(f"wrote {args.predictions_csv}")
+
+    # ---- retrieval quality (TwoTower family): offline Recall@K over the
+    # eval split — the candidate-generation acceptance metric (no reference
+    # counterpart; the reference zoo is ranking-only)
+    if args.eval_recall_at and hasattr(model, "item_embedding"):
+        from recalgorithm_tpu.serving.retrieval import Retriever
+        from recalgorithm_tpu.train.loop import _gather_to_host
+
+        # collective gather: every process enters; metric printed on 0
+        variables = _gather_to_host(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        if jax.process_index() == 0:
+            retr = Retriever(model, variables)
+            n_corpus = retr.build_corpus(eval_fn())
+            recall = retr.recall_at_k(eval_fn(), k=args.eval_recall_at)
+            final_eval[f"recall_at_{args.eval_recall_at}"] = recall
+            print(f"recall_at_{args.eval_recall_at}: {recall:.4f} "
+                  f"(corpus {n_corpus}, random ~"
+                  f"{min(args.eval_recall_at / n_corpus, 1.0):.4f})")
 
     # ---- hermetic serving artifact (reference exports a SavedModel at the
     # end of every run; here: StableHLO, runnable by any PJRT runtime)
