@@ -69,6 +69,24 @@ def export_stablehlo(
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
         f.write(blob)
+    # sidecar manifest: everything a serving stack needs to validate the
+    # artifact without deserializing it (model identity, input spec,
+    # quantization) — SavedModel-signature parity in spirit
+    import json
+
+    manifest = {
+        "model": type(model).__name__,
+        "batch_size": batch_size,
+        "quantized_embeddings": quantize_embeddings,
+        "inputs": {
+            name: {"shape": list(s.shape), "dtype": str(s.dtype)}
+            for name, s in args[0].items()
+        },
+        "outputs": list(getattr(model.config, "task_names", ())),
+        "artifact_bytes": len(blob),
+    }
+    with open(out_path + ".manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
 
 
 def load_exported(path: str):

@@ -107,3 +107,25 @@ def test_batching_predictor_survives_malformed_request(tmp_path):
         assert 0.0 <= out["read_comment"] <= 1.0
     finally:
         server.close()
+
+
+def test_export_manifest(tmp_path):
+    import json
+    import os
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=9, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepFMConfig(hidden_units=(16,), batch_size=16)
+    model = DeepFM(config=cfg, schema=schema)
+    batch = {k: jax.numpy.asarray(v) for k, v in gen.batch(16, 0).items()}
+    variables = model.init(jax.random.key(0), batch, train=False)
+    path = str(tmp_path / "m.stablehlo")
+    export_stablehlo(model, variables, schema, batch_size=16, out_path=path)
+    m = json.load(open(path + ".manifest.json"))
+    assert m["model"] == "DeepFM"
+    assert m["batch_size"] == 16
+    assert m["quantized_embeddings"] is False
+    assert m["outputs"] == ["read_comment"]
+    assert m["inputs"]["dense"] == {"shape": [16, 16], "dtype": "float32"}
+    assert "labels" not in m["inputs"]
+    assert m["artifact_bytes"] == os.path.getsize(path)
