@@ -407,3 +407,61 @@ def test_grouped_auc_oracle():
     # one user == global AUC
     np.testing.assert_allclose(
         grouped_auc(labels, scores, np.zeros(9)), exact_auc(labels, scores))
+
+
+def test_sigkill_crash_then_resume(tmp_path):
+    """Hard-crash consistency: SIGKILL mid-training (no cleanup at all)
+    leaves the checkpoint directory loadable — Orbax saves are atomic — and
+    a restart resumes from the last completed checkpoint, not step 0."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import os, sys
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+        from recalgorithm_tpu.features.schema import wechat_schema
+        from recalgorithm_tpu.models.deep_crossing import DeepCrossing, DeepCrossingConfig
+        from recalgorithm_tpu.train import optimizers
+        from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
+
+        tmp, crash_after = sys.argv[1], int(sys.argv[2])
+        gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=3, vocab_scale=0.005))
+        schema = wechat_schema(gen.vocab_sizes())
+        cfg = DeepCrossingConfig(batch_size=64)
+        trainer = Trainer(
+            DeepCrossing(config=cfg, schema=schema), cfg.task_names,
+            optimizers.build("adam", 0.005),
+            TrainerConfig(model_dir=tmp, train_steps=40, log_every=1000,
+                          save_checkpoints_steps=10),
+        )
+
+        def batches():
+            for i in range(40):
+                if crash_after >= 0 and i == crash_after:
+                    # checkpoint-at-10 has landed; die with no cleanup
+                    os.kill(os.getpid(), 9)
+                yield gen.batch(64, i)
+
+        state, ev = trainer.train_and_evaluate(
+            batches(), lambda: gen.batches(64, 2, start_seed=5000))
+        print("DONE_STEP", int(state.step), "AUC" in str(sorted(ev)) or ev != {})
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    crashed = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path), "17"],
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert crashed.returncode == -signal.SIGKILL, (
+        crashed.returncode, crashed.stderr[-500:])
+    # the checkpoint dir holds the step-10 save and restores cleanly
+    resumed = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path), "-1"],
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert resumed.returncode == 0, resumed.stderr[-2000:]
+    assert "DONE_STEP 40" in resumed.stdout, resumed.stdout[-300:]
