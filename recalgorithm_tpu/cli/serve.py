@@ -79,6 +79,8 @@ def build_handler(batching, schema, vocabs=None, timeout_s: float = 30.0):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, "ok")
+            elif self.path == "/metrics":
+                self._send(200, batching.stats())
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -182,6 +184,16 @@ def main(argv=None):
     httpd, batching = build_server(args)
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"(quantize={args.quantize})", flush=True)
+
+    # graceful drain on SIGTERM (K8s/preemption): stop accepting, finish
+    # queued requests, exit 0
+    import signal
+    import threading
+
+    def _term(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -189,6 +201,7 @@ def main(argv=None):
     finally:
         httpd.shutdown()
         batching.close()
+        print(f"shutdown: {batching.stats()}", flush=True)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,13 @@ class BatchingPredictor:
              if b <= max_batch_size} | {max_batch_size}
         ))
         self._q: queue.Queue = queue.Queue()
+        # serving counters (read by stats()/the /metrics endpoint): updated
+        # only on the worker thread, snapshot under the lock
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_errors = 0
+        self._lat_ring: list[float] = []  # last <=4096 batch latencies (s)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -82,6 +89,25 @@ class BatchingPredictor:
     def close(self):
         self._q.put(_SENTINEL)
         self._worker.join(timeout=10)
+
+    def stats(self) -> dict:
+        """Serving counters + batch-latency percentiles (for /metrics)."""
+        with self._stats_lock:
+            lat = sorted(self._lat_ring)
+            out = {
+                "requests": self._n_requests,
+                "batches": self._n_batches,
+                "errors": self._n_errors,
+                "queue_depth": self._q.qsize(),
+                "mean_batch_size": round(
+                    self._n_requests / self._n_batches, 2
+                ) if self._n_batches else 0.0,
+            }
+            if lat:
+                out["batch_latency_ms_p50"] = round(lat[len(lat) // 2] * 1e3, 2)
+                out["batch_latency_ms_p99"] = round(
+                    lat[min(int(len(lat) * 0.99), len(lat) - 1)] * 1e3, 2)
+        return out
 
     # -- worker --------------------------------------------------------------
 
@@ -115,6 +141,9 @@ class BatchingPredictor:
             self._flush(pending)
 
     def _flush(self, pending):
+        import time
+
+        t0 = time.perf_counter()
         # the ENTIRE flush runs under the except-to-futures net: a single
         # malformed request (missing key, ragged shape) must fail its batch's
         # futures, not kill the worker thread and hang every later request
@@ -139,8 +168,16 @@ class BatchingPredictor:
                 for i in range(n)
             ]
         except Exception as exc:  # propagate to every waiting client
+            with self._stats_lock:
+                self._n_errors += len(pending)
             for _, fut in pending:
                 fut.set_exception(exc)
             return
+        with self._stats_lock:
+            self._n_requests += n
+            self._n_batches += 1
+            self._lat_ring.append(time.perf_counter() - t0)
+            if len(self._lat_ring) > 4096:
+                del self._lat_ring[:2048]
         for res, (_, fut) in zip(results, pending):
             fut.set_result(res)

@@ -121,3 +121,68 @@ def test_make_example_coercion():
     assert int(ex[seq.name + "_len"]) == seq.max_length
     assert ex["dense"][0] == np.float32(3.5)
     assert ex["dense"].shape == (len(schema.dense),)
+
+
+def test_metrics_endpoint(served):
+    url = served[0]
+    _post(url, {})  # ensure at least one served request
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests"] >= 1 and m["batches"] >= 1
+    assert m["mean_batch_size"] >= 1.0
+    assert "batch_latency_ms_p50" in m
+
+
+def test_serve_cli_sigterm_graceful(tmp_path):
+    """SIGTERM to the real server process drains and exits 0."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=5, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepFMConfig(hidden_units=(16,), batch_size=32)
+    model = DeepFM(config=cfg, schema=schema)
+    batch = {k: jnp.asarray(v) for k, v in gen.batch(16, 0).items()}
+    variables = model.init(jax.random.key(0), batch, train=False)
+    export_dir = str(tmp_path / "export")
+    os.makedirs(export_dir)
+    with open(os.path.join(export_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}))
+
+    import socket
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "recalgorithm_tpu.cli.serve",
+         "--model", "DeepFM", "--export_dir", export_dir,
+         "--synthetic_vocab_scale", "0.002", "--port", str(port),
+         "--hidden_units", "16", "--batch_size", "32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        deadline = time.time() + 300
+        up = False
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                    up = r.status == 200
+                    break
+            except Exception:
+                time.sleep(1.0)
+        assert up, "server never came up"
+        status, out = _post(f"http://127.0.0.1:{port}", {})
+        assert status == 200
+        proc.send_signal(signal.SIGTERM)
+        stdout, stderr = proc.communicate(timeout=120)
+        assert proc.returncode == 0, stderr[-500:]
+        assert "shutdown:" in stdout, stdout[-300:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
