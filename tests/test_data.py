@@ -221,3 +221,23 @@ def test_synchronized_iterator_single_process_passthrough():
     from recalgorithm_tpu.parallel.multihost import synchronized_iterator
 
     assert list(synchronized_iterator(iter([1, 2, 3]))) == [1, 2, 3]
+
+
+def test_stats_reporter(tmp_path):
+    """data/stats.py (the reference EDA notebook as code) computes counts,
+    label rates, sequence-length and OOV statistics from a written split."""
+    from recalgorithm_tpu.data import pipeline, stats
+    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.features.vocab import VocabularyStore
+
+    path, vocab_dir, _rows = _write_tiny_dataset(tmp_path)
+    vocabs = VocabularyStore.from_dir(vocab_dir)
+    schema = wechat_schema(vocabs.sizes())
+    data = pipeline.load_dataset(path, schema, vocabs)
+    s = stats.compute_stats(data, schema)
+    assert s["num_examples"] == data.num_examples > 0
+    assert set(s["label_positive_rate"]) == set(schema.labels)
+    for name in data.sequences:
+        assert 0 <= s[f"{name}_length"]["mean"] <= schema.sequence[0].max_length + 24
+    for name in data.categorical:
+        assert 0.0 <= s[f"{name}_oov_frac"] <= 1.0
