@@ -133,20 +133,30 @@ def build_server(args) -> tuple[ThreadingHTTPServer, object]:
         )
         schema = wechat_schema(gen.vocab_sizes())
 
-    cfg_cls, model_cls = MODEL_REGISTRY[args.model]
-    import dataclasses
+    if getattr(args, "stablehlo", None):
+        # hermetic mode: serve the artifact, no model code constructed
+        from recalgorithm_tpu.serving.predictor import HLOPredictor
 
-    cfg_kwargs = {
-        f.name: getattr(args, f.name)
-        for f in dataclasses.fields(cfg_cls) if hasattr(args, f.name)
-    }
-    model = model_cls(config=cfg_cls(**cfg_kwargs), schema=schema)
-    export_dir = args.export_dir or Predictor.latest_best(args.model_dir)
-    pred = Predictor(model, export_dir, quantize=args.quantize)
-    batching = BatchingPredictor(
-        pred, max_batch_size=args.max_batch_size,
-        max_delay_ms=args.max_delay_ms,
-    )
+        pred = HLOPredictor(args.stablehlo)
+        batching = BatchingPredictor(
+            pred, max_batch_size=pred.batch_size,
+            max_delay_ms=args.max_delay_ms, buckets=(pred.batch_size,),
+        )
+    else:
+        cfg_cls, model_cls = MODEL_REGISTRY[args.model]
+        import dataclasses
+
+        cfg_kwargs = {
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(cfg_cls) if hasattr(args, f.name)
+        }
+        model = model_cls(config=cfg_cls(**cfg_kwargs), schema=schema)
+        export_dir = args.export_dir or Predictor.latest_best(args.model_dir)
+        pred = Predictor(model, export_dir, quantize=args.quantize)
+        batching = BatchingPredictor(
+            pred, max_batch_size=args.max_batch_size,
+            max_delay_ms=args.max_delay_ms,
+        )
     batching.warmup(make_example(schema, {}, vocabs))
     handler = build_handler(batching, schema, vocabs)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
@@ -159,11 +169,17 @@ def main(argv=None):
 
     argv = list(sys.argv[1:] if argv is None else argv)
     pre = argparse.ArgumentParser(add_help=False)
-    pre.add_argument("--model", required=True, choices=sorted(MODEL_REGISTRY))
+    pre.add_argument("--model", default=None, choices=sorted(MODEL_REGISTRY))
     pre_args, _ = pre.parse_known_args(argv)
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", required=True, choices=sorted(MODEL_REGISTRY))
+    p.add_argument("--model", default=None, choices=sorted(MODEL_REGISTRY),
+                   help="model class (msgpack-export mode); not needed "
+                   "with --stablehlo")
+    p.add_argument("--stablehlo", default=None,
+                   help="serve a StableHLO artifact hermetically — no "
+                   "model code; batch size and inputs come from its "
+                   ".manifest.json")
     p.add_argument("--model_dir", default="./model_dir",
                    help="training dir; serves its best export")
     p.add_argument("--export_dir", default=None,
@@ -178,12 +194,16 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8377)
     p.add_argument("--max_batch_size", type=int, default=256)
     p.add_argument("--max_delay_ms", type=float, default=2.0)
-    _add_dataclass_flags(p, MODEL_REGISTRY[pre_args.model][0])
+    if pre_args.model is not None:
+        _add_dataclass_flags(p, MODEL_REGISTRY[pre_args.model][0])
     args = p.parse_args(argv)
+    if not args.model and not args.stablehlo:
+        p.error("one of --model or --stablehlo is required")
 
     httpd, batching = build_server(args)
-    print(f"serving {args.model} on http://{args.host}:{args.port} "
-          f"(quantize={args.quantize})", flush=True)
+    print(f"serving {args.model or args.stablehlo} on "
+          f"http://{args.host}:{args.port} (quantize={args.quantize})",
+          flush=True)
 
     # graceful drain on SIGTERM (K8s/preemption): stop accepting, finish
     # queued requests, exit 0

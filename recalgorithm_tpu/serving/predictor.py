@@ -87,3 +87,47 @@ class Predictor:
                     p = p[np.asarray(w) > 0]
                 outs.setdefault(task, []).append(p)
         return {t: np.concatenate(v) for t, v in outs.items()}
+
+
+class HLOPredictor:
+    """Serves a StableHLO export (serving/export.py) with NO model code.
+
+    The hermetic deployment shape: the artifact bakes params (f32 or int8
+    qtables) and the compiled graph; this class only coerces host batches
+    to the manifest's input spec (pad/slice the batch dimension to the
+    baked size) and runs the deserialized callable.  Drop-in for
+    `BatchingPredictor` — same ``predict_batch(dict) -> dict`` surface.
+    """
+
+    def __init__(self, artifact_path: str):
+        import json as _json
+
+        from recalgorithm_tpu.serving.export import load_exported
+
+        self._call = load_exported(artifact_path)
+        with open(artifact_path + ".manifest.json") as f:
+            self.manifest = _json.load(f)
+        self.batch_size = int(self.manifest["batch_size"])
+        self.inputs = self.manifest["inputs"]
+        self.tasks = list(self.manifest["outputs"])
+
+    def predict_batch(self, batch: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+        b = self.batch_size
+        coerced = {}
+        n = None
+        for name, spec in self.inputs.items():
+            if name not in batch:
+                raise KeyError(f"missing input {name!r} (manifest spec)")
+            arr = np.asarray(batch[name], dtype=spec["dtype"])
+            n = arr.shape[0] if n is None else n
+            if arr.shape[0] > b:
+                raise ValueError(
+                    f"batch of {arr.shape[0]} rows exceeds the artifact's "
+                    f"baked batch size {b}"
+                )
+            if arr.shape[0] < b:  # zero-pad the tail rows
+                pad = np.zeros((b - arr.shape[0],) + arr.shape[1:], arr.dtype)
+                arr = np.concatenate([arr, pad])
+            coerced[name] = arr
+        probs = self._call(coerced)
+        return {t: np.asarray(p)[:n] for t, p in probs.items()}

@@ -186,3 +186,49 @@ def test_serve_cli_sigterm_graceful(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_stablehlo_hermetic_serving(tmp_path):
+    """HLOPredictor serves the exported artifact with no model code:
+    same probabilities as the live model, through the dynamic batcher."""
+    from recalgorithm_tpu.serving.export import export_stablehlo
+    from recalgorithm_tpu.serving.predictor import HLOPredictor
+    from recalgorithm_tpu.serving.server import BatchingPredictor
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=8, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepFMConfig(hidden_units=(16,), batch_size=16)
+    model = DeepFM(config=cfg, schema=schema)
+    batch = {k: jnp.asarray(v) for k, v in gen.batch(16, 0).items()}
+    variables = model.init(jax.random.key(0), batch, train=False)
+    path = str(tmp_path / "m.stablehlo")
+    export_stablehlo(model, variables, schema, batch_size=16, out_path=path)
+
+    pred = HLOPredictor(path)
+    assert pred.batch_size == 16 and pred.tasks == ["read_comment"]
+    hb = gen.batch(10, 3)  # fewer rows than baked: pad + slice
+    got = pred.predict_batch(hb)["read_comment"]
+    assert got.shape == (10,)
+    logits, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        {k: jnp.asarray(v) for k, v in hb.items()}, train=False,
+        mutable=["losses"],
+    )
+    np.testing.assert_allclose(
+        got, np.asarray(jax.nn.sigmoid(logits["read_comment"]))[:10],
+        rtol=1e-4, atol=1e-6)
+
+    # over-baked batch is a clean error
+    with pytest.raises(ValueError, match="exceeds"):
+        pred.predict_batch(gen.batch(32, 1))
+
+    # and it rides the dynamic batcher
+    server = BatchingPredictor(pred, max_batch_size=16, max_delay_ms=1.0,
+                               buckets=(16,))
+    try:
+        one = {k: np.asarray(v)[0] for k, v in hb.items()}
+        out = server.predict_one(one)
+        np.testing.assert_allclose(out["read_comment"], got[0], rtol=1e-4)
+    finally:
+        server.close()
