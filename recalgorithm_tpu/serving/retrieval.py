@@ -241,6 +241,39 @@ class Retriever:
         self.corpus = jnp.asarray(vecs)
         return int(self.corpus.shape[0])
 
+    def save_corpus(self, path: str) -> None:
+        """Publish the built index as one .npz snapshot (ids + vectors —
+        int8+scales when quantized, f32 otherwise).  The production shape:
+        the corpus is built offline/periodically and shipped to serving
+        replicas, which load it without re-embedding."""
+        if self.corpus is None and self.corpus_q is None:
+            raise ValueError("call build_corpus first")
+        arrays = {"corpus_ids": self.corpus_ids}
+        if self.quantize_corpus:
+            arrays["corpus_q"] = np.asarray(self.corpus_q)
+            arrays["corpus_scale"] = np.asarray(self.corpus_scale)
+        else:
+            arrays["corpus"] = np.asarray(self.corpus)
+        np.savez(path, **arrays)
+
+    def load_corpus(self, path: str) -> int:
+        """Load a save_corpus snapshot; returns N.  The snapshot's
+        quantization must match this Retriever's ``quantize_corpus``."""
+        with np.load(path) as z:
+            if self.quantize_corpus:
+                if "corpus_q" not in z:
+                    raise ValueError("snapshot is f32 but quantize_corpus=True")
+                self.corpus_q = jnp.asarray(z["corpus_q"])
+                self.corpus_scale = jnp.asarray(z["corpus_scale"])
+                n = int(self.corpus_q.shape[0])
+            else:
+                if "corpus" not in z:
+                    raise ValueError("snapshot is int8 but quantize_corpus=False")
+                self.corpus = jnp.asarray(z["corpus"])
+                n = int(self.corpus.shape[0])
+            self.corpus_ids = z["corpus_ids"]
+        return n
+
     def retrieve(
         self, user_batch: Mapping, k: int = 100
     ) -> tuple[np.ndarray, np.ndarray]:

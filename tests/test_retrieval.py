@@ -313,3 +313,31 @@ def test_quantized_corpus_retrieval_recall():
     with _pytest.raises(ValueError):
         Retriever(model, variables, mesh=make_mesh(num_model=2),
                   quantize_corpus=True)
+
+
+def test_corpus_snapshot_roundtrip(tmp_path):
+    """save_corpus/load_corpus: a serving replica loads the published index
+    without re-embedding and retrieves identically (f32 and int8)."""
+    model, variables = _init(TwoTowerConfig(hidden_units=(32,), output_dim=8))
+    item_batches = [
+        {k: jnp.asarray(a) for k, a in _gen.batch(B, s).items()}
+        for s in (1, 2)
+    ]
+    for quantize in (False, True):
+        builder = Retriever(model, variables, quantize_corpus=quantize)
+        n = builder.build_corpus(item_batches)
+        path = str(tmp_path / f"corpus_{quantize}.npz")
+        builder.save_corpus(path)
+
+        replica = Retriever(model, variables, quantize_corpus=quantize)
+        assert replica.load_corpus(path) == n
+        ids_a, scores_a = builder.retrieve(BATCH, k=5)
+        ids_b, scores_b = replica.retrieve(BATCH, k=5)
+        np.testing.assert_array_equal(ids_a, ids_b)
+        np.testing.assert_allclose(scores_a, scores_b, rtol=1e-6)
+
+    # mismatched snapshot kind is a clean error
+    import pytest as _pytest
+    wrong = Retriever(model, variables, quantize_corpus=False)
+    with _pytest.raises(ValueError, match="int8"):
+        wrong.load_corpus(str(tmp_path / "corpus_True.npz"))
