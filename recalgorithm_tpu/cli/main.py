@@ -150,6 +150,14 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
     multihost.initialize()  # no-op single-process; TPU pods auto-discover
 
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--list_models" in argv:
+        for name in sorted(MODEL_REGISTRY):
+            _, mc = MODEL_REGISTRY[name]
+            # flax dataclasses overwrite class docstrings with the ctor
+            # signature — the module docstring's first line is the summary
+            doc = (sys.modules[mc.__module__].__doc__ or "").strip()
+            print(f"{name:20s} {doc.splitlines()[0] if doc else ''}")
+        return {}
     pre = build_parser(model_name)
     pre_args, _ = pre.parse_known_args(argv)
     cfg_cls, model_cls = MODEL_REGISTRY[pre_args.model]
