@@ -62,7 +62,10 @@ def make_example(schema, payload, vocabs=None) -> dict[str, np.ndarray]:
     return ex
 
 
-def build_handler(batching, schema, vocabs=None, timeout_s: float = 30.0):
+def build_handler(batchers, schema, vocabs=None, timeout_s: float = 30.0):
+    """``batchers``: {model_name: BatchingPredictor}.  One model serves at
+    /predict; several (TF-Serving's multi-model config) at /predict/<name>,
+    with /predict routing only when the name is unambiguous."""
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
             pass
@@ -76,27 +79,43 @@ def build_handler(batching, schema, vocabs=None, timeout_s: float = 30.0):
             self.end_headers()
             self.wfile.write(data)
 
+        def _batching(self, path):
+            if path.startswith("/predict/"):
+                name = path[len("/predict/"):]
+                if name in batchers:
+                    return batchers[name]
+                raise KeyError(f"unknown model {name!r}; serving "
+                               f"{sorted(batchers)}")
+            if path == "/predict":
+                if len(batchers) == 1:
+                    return next(iter(batchers.values()))
+                raise KeyError(f"several models served — POST to "
+                               f"/predict/<name>, one of {sorted(batchers)}")
+            raise KeyError("unknown path")
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, "ok")
             elif self.path == "/metrics":
-                self._send(200, batching.stats())
+                stats = {n: b.stats() for n, b in batchers.items()}
+                self._send(200, next(iter(stats.values()))
+                           if len(stats) == 1 else stats)
             else:
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/predict":
-                self._send(404, {"error": "unknown path"})
-                return
-            # input-shaped failures (JSON, coercion) -> 400; anything after
-            # the example is enqueued (timeout, worker fault) is a SERVER
-            # error -> 500, so monitoring/retry policy sees the outage
+            # input-shaped failures (JSON, coercion, routing) -> 400;
+            # anything after the example is enqueued (timeout, worker
+            # fault) is a SERVER error -> 500, so monitoring/retry policy
+            # sees the outage
             try:
+                batching = self._batching(self.path)
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 ex = make_example(schema, payload, vocabs)
             except Exception as exc:
-                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+                self._send(404 if isinstance(exc, KeyError) else 400,
+                           {"error": f"{type(exc).__name__}: {exc}"})
                 return
             try:
                 out = batching.predict_async(ex).result(timeout=timeout_s)
@@ -111,8 +130,9 @@ def build_handler(batching, schema, vocabs=None, timeout_s: float = 30.0):
     return Handler
 
 
-def build_server(args) -> tuple[ThreadingHTTPServer, object]:
-    """Construct (httpd, batching) from parsed args; caller serves/closes."""
+def build_server(args) -> tuple[ThreadingHTTPServer, dict]:
+    """Construct (httpd, {name: BatchingPredictor}) from parsed args;
+    caller serves and closes every batcher."""
     from recalgorithm_tpu.features.schema import wechat_schema
     from recalgorithm_tpu.models import MODEL_REGISTRY
     from recalgorithm_tpu.serving.predictor import Predictor
@@ -134,14 +154,22 @@ def build_server(args) -> tuple[ThreadingHTTPServer, object]:
         schema = wechat_schema(gen.vocab_sizes())
 
     if getattr(args, "stablehlo", None):
-        # hermetic mode: serve the artifact, no model code constructed
+        # hermetic mode: serve artifact(s), no model code constructed.
+        # Each spec is "path" or "name=path" (TF-Serving multi-model config
+        # parity: several models behind one server, routed by name).
         from recalgorithm_tpu.serving.predictor import HLOPredictor
 
-        pred = HLOPredictor(args.stablehlo)
-        batching = BatchingPredictor(
-            pred, max_batch_size=pred.batch_size,
-            max_delay_ms=args.max_delay_ms, buckets=(pred.batch_size,),
-        )
+        specs = (args.stablehlo if isinstance(args.stablehlo, list)
+                 else [args.stablehlo])
+        batchers = {}
+        for i, spec in enumerate(specs):
+            name, _, path = spec.rpartition("=")
+            name = name or (f"model_{i}" if len(specs) > 1 else "default")
+            pred = HLOPredictor(path)
+            batchers[name] = BatchingPredictor(
+                pred, max_batch_size=pred.batch_size,
+                max_delay_ms=args.max_delay_ms, buckets=(pred.batch_size,),
+            )
     else:
         cfg_cls, model_cls = MODEL_REGISTRY[args.model]
         import dataclasses
@@ -153,14 +181,15 @@ def build_server(args) -> tuple[ThreadingHTTPServer, object]:
         model = model_cls(config=cfg_cls(**cfg_kwargs), schema=schema)
         export_dir = args.export_dir or Predictor.latest_best(args.model_dir)
         pred = Predictor(model, export_dir, quantize=args.quantize)
-        batching = BatchingPredictor(
+        batchers = {args.model: BatchingPredictor(
             pred, max_batch_size=args.max_batch_size,
             max_delay_ms=args.max_delay_ms,
-        )
-    batching.warmup(make_example(schema, {}, vocabs))
-    handler = build_handler(batching, schema, vocabs)
+        )}
+    for b in batchers.values():
+        b.warmup(make_example(schema, {}, vocabs))
+    handler = build_handler(batchers, schema, vocabs)
     httpd = ThreadingHTTPServer((args.host, args.port), handler)
-    return httpd, batching
+    return httpd, batchers
 
 
 def main(argv=None):
@@ -176,10 +205,11 @@ def main(argv=None):
     p.add_argument("--model", default=None, choices=sorted(MODEL_REGISTRY),
                    help="model class (msgpack-export mode); not needed "
                    "with --stablehlo")
-    p.add_argument("--stablehlo", default=None,
+    p.add_argument("--stablehlo", action="append", default=None,
                    help="serve a StableHLO artifact hermetically — no "
                    "model code; batch size and inputs come from its "
-                   ".manifest.json")
+                   ".manifest.json.  Repeatable as name=path to serve "
+                   "several models at /predict/<name>")
     p.add_argument("--model_dir", default="./model_dir",
                    help="training dir; serves its best export")
     p.add_argument("--export_dir", default=None,
@@ -200,8 +230,8 @@ def main(argv=None):
     if not args.model and not args.stablehlo:
         p.error("one of --model or --stablehlo is required")
 
-    httpd, batching = build_server(args)
-    print(f"serving {args.model or args.stablehlo} on "
+    httpd, batchers = build_server(args)
+    print(f"serving {sorted(batchers)} on "
           f"http://{args.host}:{args.port} (quantize={args.quantize})",
           flush=True)
 
@@ -220,8 +250,10 @@ def main(argv=None):
         pass
     finally:
         httpd.shutdown()
-        batching.close()
-        print(f"shutdown: {batching.stats()}", flush=True)
+        for b in batchers.values():
+            b.close()
+        print(f"shutdown: { {n: b.stats() for n, b in batchers.items()} }",
+              flush=True)
 
 
 if __name__ == "__main__":

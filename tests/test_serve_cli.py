@@ -40,20 +40,21 @@ def served(tmp_path_factory):
         model="DeepFM", model_dir=str(tmp), export_dir=export_dir,
         vocabulary_dir=None, synthetic_vocab_scale=0.002, quantize=False,
         host="127.0.0.1", port=0, max_batch_size=32, max_delay_ms=1.0,
-        hidden_units=(16,), batch_size=32,
+        hidden_units=(16,), batch_size=32, stablehlo=None,
     )
-    httpd, batching = build_server(args)
+    httpd, batchers = build_server(args)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     url = f"http://127.0.0.1:{httpd.server_address[1]}"
     yield url, gen, schema, model, variables
     httpd.shutdown()
-    batching.close()
+    for b in batchers.values():
+        b.close()
 
 
-def _post(url, payload, timeout=60):
+def _post(url, payload, timeout=60, path="/predict"):
     req = urllib.request.Request(
-        url + "/predict", data=json.dumps(payload).encode(),
+        url + path, data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"},
     )
     try:
@@ -232,3 +233,53 @@ def test_stablehlo_hermetic_serving(tmp_path):
         np.testing.assert_allclose(out["read_comment"], got[0], rtol=1e-4)
     finally:
         server.close()
+
+
+def test_multi_model_serving(tmp_path):
+    """Several StableHLO artifacts behind one server, routed by name
+    (TF-Serving multi-model config parity)."""
+    from recalgorithm_tpu.cli.serve import build_server
+    from recalgorithm_tpu.serving.export import export_stablehlo
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=8, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    batch = {k: jnp.asarray(v) for k, v in gen.batch(8, 0).items()}
+    paths = {}
+    for name, seed in (("a", 0), ("b", 1)):
+        cfg = DeepFMConfig(hidden_units=(16,), batch_size=8)
+        model = DeepFM(config=cfg, schema=schema)
+        variables = model.init(jax.random.key(seed), batch, train=False)
+        paths[name] = str(tmp_path / f"{name}.stablehlo")
+        export_stablehlo(model, variables, schema, batch_size=8,
+                         out_path=paths[name])
+
+    args = argparse.Namespace(
+        model=None, model_dir=str(tmp_path), export_dir=None,
+        vocabulary_dir=None, synthetic_vocab_scale=0.002, quantize=False,
+        host="127.0.0.1", port=0, max_batch_size=8, max_delay_ms=1.0,
+        stablehlo=[f"a={paths['a']}", f"b={paths['b']}"],
+    )
+    httpd, batchers = build_server(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        sa, oa = _post(url, {"userid": 3}, path="/predict/a")
+        sb, ob = _post(url, {"userid": 3}, path="/predict/b")
+        assert sa == 200 and sb == 200
+        # different params -> different probabilities
+        assert oa["predictions"]["read_comment"] != ob["predictions"]["read_comment"]
+        # bare /predict is ambiguous with two models
+        s_amb, o_amb = _post(url, {})
+        assert s_amb == 404 and "several models" in o_amb["error"]
+        # unknown name
+        s_unk, _ = _post(url, {}, path="/predict/zzz")
+        assert s_unk == 404
+        # per-model metrics
+        with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+            m = json.loads(r.read())
+        assert set(m) == {"a", "b"} and m["a"]["requests"] >= 1
+    finally:
+        httpd.shutdown()
+        for b in batchers.values():
+            b.close()
