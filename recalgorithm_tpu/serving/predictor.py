@@ -131,3 +131,18 @@ class HLOPredictor:
             coerced[name] = arr
         probs = self._call(coerced)
         return {t: np.asarray(p)[:n] for t, p in probs.items()}
+
+    def predict(
+        self, batches: Iterable[Mapping[str, np.ndarray]]
+    ) -> dict[str, np.ndarray]:
+        """Offline batch scoring over an iterator (Predictor.predict parity);
+        padded eval tails (``_weights`` == 0) are dropped."""
+        outs: dict[str, list[np.ndarray]] = {}
+        for hb in batches:
+            probs = self.predict_batch(hb)
+            w = hb.get("_weights")
+            for task, p in probs.items():
+                if w is not None:
+                    p = p[np.asarray(w) > 0]
+                outs.setdefault(task, []).append(p)
+        return {t: np.concatenate(v) for t, v in outs.items()}

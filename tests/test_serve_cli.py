@@ -283,3 +283,28 @@ def test_multi_model_serving(tmp_path):
         httpd.shutdown()
         for b in batchers.values():
             b.close()
+
+
+def test_hlo_predictor_offline_scoring(tmp_path):
+    """HLOPredictor.predict scores a batch iterator (incl. a padded tail)
+    identically to per-batch calls."""
+    from recalgorithm_tpu.serving.export import export_stablehlo
+    from recalgorithm_tpu.serving.predictor import HLOPredictor
+
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=8, vocab_scale=0.002))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DeepFMConfig(hidden_units=(16,), batch_size=8)
+    model = DeepFM(config=cfg, schema=schema)
+    batch = {k: jnp.asarray(v) for k, v in gen.batch(8, 0).items()}
+    variables = model.init(jax.random.key(0), batch, train=False)
+    path = str(tmp_path / "m.stablehlo")
+    export_stablehlo(model, variables, schema, batch_size=8, out_path=path)
+
+    pred = HLOPredictor(path)
+    full = gen.batch(8, 1)
+    tail = {k: np.asarray(v)[:5] for k, v in gen.batch(8, 2).items()}
+    tail["_weights"] = np.r_[np.ones(5, np.float32)]
+    out = pred.predict([full, tail])["read_comment"]
+    assert out.shape == (13,)
+    np.testing.assert_allclose(
+        out[:8], pred.predict_batch(full)["read_comment"], rtol=1e-6)
