@@ -100,28 +100,67 @@ def main():
 
     tmp = tempfile.mkdtemp()
     path = os.path.join(tmp, "stream.tfrecord")
-    payloads = []
+    # columnar staging (shared by both writers)
+    dense_rows, label_rows = [], []
+    cat_cols = {f.name: [] for f in schema.categorical}
+    seq_cols = {f.name: [] for f in schema.sequence}
     written = 0
     i = 0
     while written < stream_rows:
         b = gen.batch(min(8192, stream_rows - written), 1000 + i)
         n = len(b["labels"])
-        for r in range(n):
-            ctx = {d: ("float", [float(b["dense"][r, j])])
-                   for j, d in enumerate(schema.dense_names)}
-            ctx |= {l: ("float", [float(b["labels"][r, j])])
-                    for j, l in enumerate(schema.labels)}
-            for f in schema.categorical:
-                ctx[f.name] = ("bytes", [tok(f.vocab, b[f.name][r])])
-            fl = {}
-            for f in schema.sequence:
-                L = int(b[f.name + "_len"][r])
-                fl[f.name] = ("bytes", [tok(f.vocab, x)
-                                        for x in b[f.name][r, :L]])
-            payloads.append(tfrecord.encode_sequence_example(ctx, fl))
+        dense_rows.append(b["dense"])
+        label_rows.append(b["labels"])
+        for f in schema.categorical:
+            cat_cols[f.name].extend(tok(f.vocab, v) for v in b[f.name])
+        for f in schema.sequence:
+            lens = b[f.name + "_len"]
+            seq_cols[f.name].extend(
+                [tok(f.vocab, x) for x in b[f.name][r, : int(lens[r])]]
+                for r in range(n)
+            )
         written += n
         i += 1
-    tfrecord.write_records(path, payloads)
+    dense_all = np.concatenate(dense_rows).astype(np.float32)
+    labels_all = np.concatenate(label_rows).astype(np.float32)
+
+    # TFRecord WRITE throughput: pure-Python encoder vs the native parallel
+    # writer (byte-identical output; the ETL routes through the native one)
+    def py_payloads():
+        for r in range(written):
+            ctx = {d: ("float", [float(dense_all[r, j])])
+                   for j, d in enumerate(schema.dense_names)}
+            for f in schema.categorical:
+                ctx[f.name] = ("bytes", [cat_cols[f.name][r]])
+            ctx |= {l: ("float", [float(labels_all[r, j])])
+                    for j, l in enumerate(schema.labels)}
+            fl = {f.name: ("bytes", seq_cols[f.name][r])
+                  for f in schema.sequence}
+            yield tfrecord.encode_sequence_example(ctx, fl)
+
+    t0 = time.perf_counter()
+    tfrecord.write_records(path, py_payloads())
+    results["py_write_rows_per_s"] = round(written / (time.perf_counter() - t0), 1)
+    try:
+        from recalgorithm_tpu.runtime.loader import write_sequence_examples
+
+        cc_path = os.path.join(tmp, "stream_cc.tfrecord")
+        t0 = time.perf_counter()
+        write_sequence_examples(
+            cc_path, list(schema.dense_names), dense_all,
+            [f.name for f in schema.categorical],
+            [cat_cols[f.name] for f in schema.categorical],
+            list(schema.labels), labels_all,
+            [f.name for f in schema.sequence],
+            [seq_cols[f.name] for f in schema.sequence],
+        )
+        results["native_write_rows_per_s"] = round(
+            written / (time.perf_counter() - t0), 1)
+        with open(path, "rb") as a, open(cc_path, "rb") as bfile:
+            assert a.read() == bfile.read(), "writer outputs diverge"
+        os.remove(cc_path)
+    except ImportError as e:  # no compiler on this host
+        results["native_write_rows_per_s"] = f"unavailable: {e}"
 
     it = pipeline.prefetch(pipeline.stream_batches(
         path, schema, vocabs, args.batch_size, num_epochs=1,
