@@ -356,19 +356,26 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             writer.writerow(row)
     print(f"wrote {args.predictions_csv}")
 
+    # Host-gathered variables are needed by Recall@K and the StableHLO
+    # export; the gather is a COLLECTIVE (process_allgather) entered on
+    # every process, and the full table tree is large — gather exactly once
+    want_recall = args.eval_recall_at and hasattr(model, "item_embedding")
+    host_variables = None
+    if want_recall or args.export_stablehlo:
+        from recalgorithm_tpu.train.loop import _gather_to_host
+
+        host_variables = _gather_to_host(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+
     # ---- retrieval quality (TwoTower family): offline Recall@K over the
     # eval split — the candidate-generation acceptance metric (no reference
     # counterpart; the reference zoo is ranking-only)
-    if args.eval_recall_at and hasattr(model, "item_embedding"):
+    if want_recall:
         from recalgorithm_tpu.serving.retrieval import Retriever
-        from recalgorithm_tpu.train.loop import _gather_to_host
 
-        # collective gather: every process enters; metric printed on 0
-        variables = _gather_to_host(
-            {"params": state.params, "batch_stats": state.batch_stats}
-        )
         if jax.process_index() == 0:
-            retr = Retriever(model, variables)
+            retr = Retriever(model, host_variables)
             n_corpus = retr.build_corpus(eval_fn())
             recall = retr.recall_at_k(eval_fn(), k=args.eval_recall_at)
             final_eval[f"recall_at_{args.eval_recall_at}"] = recall
@@ -380,18 +387,12 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
     # end of every run; here: StableHLO, runnable by any PJRT runtime)
     if args.export_stablehlo:
         from recalgorithm_tpu.serving.export import export_stablehlo
-        from recalgorithm_tpu.train.loop import _gather_to_host
 
-        # the gather is a COLLECTIVE (process_allgather) — every process
-        # must enter it; only the file write is gated on process 0
-        # (same pattern as the best exporter, train/loop.py _gather_to_host
-        # callers)
-        variables = _gather_to_host(
-            {"params": state.params, "batch_stats": state.batch_stats}
-        )
+        # only the file write is gated on process 0; the collective gather
+        # above ran on every process
         if jax.process_index() == 0:
             export_stablehlo(
-                model, variables, schema,
+                model, host_variables, schema,
                 batch_size=args.serving_batch_size or cfg.batch_size,
                 out_path=args.export_stablehlo,
                 quantize_embeddings=args.export_quantized,

@@ -62,6 +62,10 @@ def make_example(schema, payload, vocabs=None) -> dict[str, np.ndarray]:
     return ex
 
 
+class _RouteError(Exception):
+    """Unknown path / model name — the only errors mapped to HTTP 404."""
+
+
 def build_handler(batchers, schema, vocabs=None, timeout_s: float = 30.0):
     """``batchers``: {model_name: BatchingPredictor}.  One model serves at
     /predict; several (TF-Serving's multi-model config) at /predict/<name>,
@@ -84,14 +88,14 @@ def build_handler(batchers, schema, vocabs=None, timeout_s: float = 30.0):
                 name = path[len("/predict/"):]
                 if name in batchers:
                     return batchers[name]
-                raise KeyError(f"unknown model {name!r}; serving "
-                               f"{sorted(batchers)}")
+                raise _RouteError(f"unknown model {name!r}; serving "
+                                  f"{sorted(batchers)}")
             if path == "/predict":
                 if len(batchers) == 1:
                     return next(iter(batchers.values()))
-                raise KeyError(f"several models served — POST to "
-                               f"/predict/<name>, one of {sorted(batchers)}")
-            raise KeyError("unknown path")
+                raise _RouteError(f"several models served — POST to "
+                                  f"/predict/<name>, one of {sorted(batchers)}")
+            raise _RouteError("unknown path")
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -114,7 +118,7 @@ def build_handler(batchers, schema, vocabs=None, timeout_s: float = 30.0):
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 ex = make_example(schema, payload, vocabs)
             except Exception as exc:
-                self._send(404 if isinstance(exc, KeyError) else 400,
+                self._send(404 if isinstance(exc, _RouteError) else 400,
                            {"error": f"{type(exc).__name__}: {exc}"})
                 return
             try:
@@ -163,7 +167,11 @@ def build_server(args) -> tuple[ThreadingHTTPServer, dict]:
                  else [args.stablehlo])
         batchers = {}
         for i, spec in enumerate(specs):
-            name, _, path = spec.rpartition("=")
+            # "name=path" only when the left side looks like a name (no
+            # path separator) — a bare path may itself contain '='
+            name, sep, path = spec.partition("=")
+            if not sep or not name or "/" in name:
+                name, path = "", spec
             name = name or (f"model_{i}" if len(specs) > 1 else "default")
             pred = HLOPredictor(path)
             batchers[name] = BatchingPredictor(
@@ -188,7 +196,16 @@ def build_server(args) -> tuple[ThreadingHTTPServer, dict]:
     for b in batchers.values():
         b.warmup(make_example(schema, {}, vocabs))
     handler = build_handler(batchers, schema, vocabs)
-    httpd = ThreadingHTTPServer((args.host, args.port), handler)
+
+    class _Server(ThreadingHTTPServer):
+        # drain semantics: shutdown() must wait for in-flight handler
+        # threads (each bounded by the predict timeout) BEFORE the caller
+        # closes the batchers — otherwise a request enqueued after the
+        # worker sentinel never resolves and its client sees a reset
+        daemon_threads = False
+        block_on_close = True
+
+    httpd = _Server((args.host, args.port), handler)
     return httpd, batchers
 
 

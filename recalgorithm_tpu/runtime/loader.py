@@ -129,6 +129,20 @@ def write_sequence_examples(
     n_rows = int(dense.shape[0]) if len(dense_names) else len(labels)
     dense = np.ascontiguousarray(dense, np.float32)
     labels = np.ascontiguousarray(labels, np.float32)
+    # fail loudly in Python: a short column would silently truncate via zip
+    # and hand uninitialised offset arrays to the native encoder (OOB reads)
+    for kind, names, cols in (("cat", cat_names, cat_cols),
+                              ("seq", seq_names, seq_cols)):
+        if len(names) != len(cols):
+            raise ValueError(f"{kind}: {len(names)} names vs {len(cols)} columns")
+        for name, col in zip(names, cols):
+            if len(col) != n_rows:
+                raise ValueError(
+                    f"{kind} column {name!r} has {len(col)} rows, expected "
+                    f"{n_rows}")
+    if len(label_names) and labels.shape[0] != n_rows:
+        raise ValueError(
+            f"labels have {labels.shape[0]} rows, expected {n_rows}")
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     as_f32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 

@@ -217,10 +217,14 @@ class Retriever:
         for batch in item_batches:
             feed = np.asarray(batch["feedid"]).reshape(-1)
             vecs = np.asarray(self._embed_items(batch))
-            # first occurrence within the batch AND unseen across batches
+            # first occurrence within the batch AND unseen across batches;
+            # id 0 is PAD/OOV (padded eval tails, stale-vocab items) — a
+            # real corpus must never contain it, and recall against it
+            # would count every OOV positive as a hit
             _, first = np.unique(feed, return_index=True)
             fresh = np.zeros(feed.shape[0], dtype=bool)
             fresh[first] = True
+            fresh &= feed > 0
             fresh &= np.array([f not in seen for f in feed])
             if fresh.any():
                 seen.update(feed[fresh].tolist())
@@ -241,11 +245,18 @@ class Retriever:
         self.corpus = jnp.asarray(vecs)
         return int(self.corpus.shape[0])
 
-    def save_corpus(self, path: str) -> None:
+    @staticmethod
+    def _snapshot_path(path: str) -> str:
+        # np.savez APPENDS .npz to suffix-less paths; normalise on both
+        # sides so save('x') / load('x') round-trips
+        return path if path.endswith(".npz") else path + ".npz"
+
+    def save_corpus(self, path: str) -> str:
         """Publish the built index as one .npz snapshot (ids + vectors —
         int8+scales when quantized, f32 otherwise).  The production shape:
         the corpus is built offline/periodically and shipped to serving
-        replicas, which load it without re-embedding."""
+        replicas, which load it without re-embedding.  Returns the actual
+        file path written (.npz appended when missing)."""
         if self.corpus is None and self.corpus_q is None:
             raise ValueError("call build_corpus first")
         arrays = {"corpus_ids": self.corpus_ids}
@@ -254,12 +265,14 @@ class Retriever:
             arrays["corpus_scale"] = np.asarray(self.corpus_scale)
         else:
             arrays["corpus"] = np.asarray(self.corpus)
+        path = self._snapshot_path(path)
         np.savez(path, **arrays)
+        return path
 
     def load_corpus(self, path: str) -> int:
         """Load a save_corpus snapshot; returns N.  The snapshot's
         quantization must match this Retriever's ``quantize_corpus``."""
-        with np.load(path) as z:
+        with np.load(self._snapshot_path(path)) as z:
             if self.quantize_corpus:
                 if "corpus_q" not in z:
                     raise ValueError("snapshot is f32 but quantize_corpus=True")
@@ -307,6 +320,12 @@ class Retriever:
         hits, total = 0, 0
         for batch in batches:
             y = np.asarray(batch["labels"])[:, label_index] > 0
+            # padded tails (_weights 0) and OOV target items (feedid 0)
+            # carry no retrievable ground truth
+            w = batch.get("_weights")
+            if w is not None:
+                y &= np.asarray(w) > 0
+            y &= np.asarray(batch["feedid"]).reshape(-1) > 0
             if not y.any():
                 continue
             ids, _ = self.retrieve(batch, k)

@@ -326,8 +326,10 @@ def test_corpus_snapshot_roundtrip(tmp_path):
     for quantize in (False, True):
         builder = Retriever(model, variables, quantize_corpus=quantize)
         n = builder.build_corpus(item_batches)
-        path = str(tmp_path / f"corpus_{quantize}.npz")
-        builder.save_corpus(path)
+        # suffix-less path: np.savez appends .npz — save/load must agree
+        path = str(tmp_path / f"corpus_{quantize}")
+        written = builder.save_corpus(path)
+        assert written.endswith(".npz")
 
         replica = Retriever(model, variables, quantize_corpus=quantize)
         assert replica.load_corpus(path) == n
@@ -341,3 +343,12 @@ def test_corpus_snapshot_roundtrip(tmp_path):
     wrong = Retriever(model, variables, quantize_corpus=False)
     with _pytest.raises(ValueError, match="int8"):
         wrong.load_corpus(str(tmp_path / "corpus_True.npz"))
+
+    # PAD/OOV id 0 never enters a corpus (padded eval tails, stale vocab)
+    padded = [dict(b) for b in item_batches]
+    feed0 = np.asarray(padded[0]["feedid"]).copy()
+    feed0[:3] = 0
+    padded[0]["feedid"] = jnp.asarray(feed0)
+    r0 = Retriever(model, variables)
+    r0.build_corpus(padded)
+    assert 0 not in set(np.asarray(r0.corpus_ids).tolist())
