@@ -98,4 +98,24 @@ def run_bench(batch_size: int = 4096) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    import threading
+
+    # The tunneled TPU backend has been observed to HANG jax initialisation
+    # indefinitely when the tunnel is down (not fail).  A hung bench leaves
+    # no artifact at all; emit an honest failure line instead and exit
+    # non-zero.  20 min is ~4x the slowest healthy full run observed.
+    def _watchdog():
+        print(json.dumps({
+            "metric": "DIN_train_examples_per_s_per_chip_b4096",
+            "value": 0.0, "unit": "examples/s/chip", "vs_baseline": 0.0,
+            "error": "backend init / bench timed out after 1200s "
+                     "(TPU tunnel unreachable?)",
+        }), flush=True)
+        os._exit(1)
+
+    timer = threading.Timer(1200.0, _watchdog)
+    timer.daemon = True
+    timer.start()
+    result = run_bench()
+    timer.cancel()
+    print(json.dumps(result))
