@@ -2,7 +2,7 @@
 
 16 reference models + ESMM (listed-but-unimplemented in the reference)
 + beyond-reference additions (DCNv2, AutoInt, DLRM, FinalMLP, MaskNet,
-SharedBottom, TwoTower retrieval).
+GDCN, SharedBottom, TwoTower retrieval).
 Use ``recalgorithm_tpu.models.get_model(name)`` for (config_cls, model_cls).
 """
 
@@ -25,6 +25,7 @@ from recalgorithm_tpu.models import (  # noqa: F401
     fibinet,
     final_mlp,
     fwfm,
+    gdcn,
     masknet,
     mmoe,
     nfm,

@@ -287,10 +287,15 @@ class CrossNetworkV2(nn.Module):
     factorises ``W_l = U_l V_l^T``: two thin (d, r) MXU matmuls instead of
     one (d, d) — the paper's DCN-Mix building block, and the TPU-friendly
     choice once d outgrows a few hundred.
+
+    ``gated=True`` is GDCN's gated cross (Wang et al., CIKM'23,
+    arXiv:2311.04635): ``x_{l+1} = x0 * (W_l x_l + b_l) * sigmoid(G_l x_l)
+    + x_l`` — the gate learns per-dimension relevance of each cross term.
     """
 
     num_layers: int
     low_rank: int = 0
+    gated: bool = False
 
     @nn.compact
     def __call__(self, x0: jax.Array) -> jax.Array:  # (B, d)
@@ -305,7 +310,11 @@ class CrossNetworkV2(nn.Module):
                 w = self.param(f"w_{layer}", glorot_uniform, (d, d))
                 w_xl = xl @ w
             b = self.param(f"b_{layer}", nn.initializers.zeros, (d,))
-            xl = x0 * (w_xl + b) + xl
+            cross = x0 * (w_xl + b)
+            if self.gated:
+                g = self.param(f"g_{layer}", glorot_uniform, (d, d))
+                cross = cross * jax.nn.sigmoid(xl @ g)
+            xl = cross + xl
         return xl
 
 
