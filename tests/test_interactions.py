@@ -316,3 +316,32 @@ def test_bilinear_fusion_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     with pytest.raises(ValueError):
         I.BilinearFusion(num_heads=4).init(jax.random.key(0), o1, o2)
+
+
+def test_gated_cross_network_formula():
+    """GDCN (beyond-reference, CIKM'23): x_{l+1} = x0 * (W x_l + b) *
+    sigmoid(G x_l) + x_l."""
+    d = 6
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    net = I.CrossNetworkV2(num_layers=2, gated=True)
+    params = net.init(jax.random.key(0), x0)
+    got = np.asarray(net.apply(params, x0))
+    p = jax.tree.map(np.asarray, params["params"])
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    xl = np.asarray(x0)
+    for layer in range(2):
+        cross = np.asarray(x0) * (xl @ p[f"w_{layer}"] + p[f"b_{layer}"])
+        xl = cross * sigmoid(xl @ p[f"g_{layer}"]) + xl
+    np.testing.assert_allclose(got, xl, rtol=1e-5, atol=1e-5)
+    # the gate is a real param: ungated differs
+    ungated = np.asarray(
+        I.CrossNetworkV2(num_layers=2).apply(
+            {"params": {k: v for k, v in p.items() if not k.startswith("g_")}},
+            x0,
+        )
+    )
+    assert not np.allclose(got, ungated)
