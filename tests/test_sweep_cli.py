@@ -31,3 +31,14 @@ def test_sweep_two_point_grid(tmp_path, monkeypatch):
         cells = [c.strip() for c in row.strip("|").split("|")]
         assert cells[0] == want
         assert 0.0 <= float(cells[col]) <= 1.0
+
+
+def test_list_models(capsys):
+    from recalgorithm_tpu.cli.main import main
+    from recalgorithm_tpu.models import MODEL_REGISTRY
+
+    out = main(["--list_models"])
+    assert out == {}
+    printed = capsys.readouterr().out
+    for name in MODEL_REGISTRY:
+        assert name in printed
