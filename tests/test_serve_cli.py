@@ -308,3 +308,20 @@ def test_hlo_predictor_offline_scoring(tmp_path):
     assert out.shape == (13,)
     np.testing.assert_allclose(
         out[:8], pred.predict_batch(full)["read_comment"], rtol=1e-6)
+
+
+def test_make_example_rejects_malformed(served):
+    """Malformed feature values become clean 400s, never 500s or hangs."""
+    url = served[0]
+    for bad in (
+        {"dense": [1.0] * 99},              # oversized dense vector
+        {"userid": [1, 2]},                  # list where scalar expected
+        {"his_read_comment_7d_seq": "abc"},  # string where list expected
+        {"userid": None},
+    ):
+        status, out = _post(url, bad)
+        assert status == 400, (bad, status, out)
+        assert "error" in out
+    # server still healthy afterwards
+    status, _ = _post(url, {})
+    assert status == 200
