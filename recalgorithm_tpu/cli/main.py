@@ -91,9 +91,13 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
     parser.add_argument("--limit_examples", type=int, default=None,
                         help="cap examples read from TFRecords (debug)")
     parser.add_argument("--stream", action="store_true",
-                        help="bounded-memory streaming train input (chunked "
-                             "native reads + shuffle-buffer pool) instead of "
-                             "whole-split load; for splits larger than RAM")
+                        help="bounded-memory streaming input for BOTH splits "
+                             "(chunked native reads; train adds a "
+                             "shuffle-buffer pool) instead of whole-split "
+                             "load; for splits larger than RAM")
+    parser.add_argument("--stream_chunk_records", type=int, default=65536,
+                        help="records per chunked native read in --stream "
+                             "mode (peak RAM ~ one chunk + shuffle pool)")
     parser.add_argument("--eval_every_steps", type=int, default=0)
     parser.add_argument(
         "--eval_throttle_secs", type=float, default=600.0,
@@ -198,6 +202,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                     num_epochs=cfg.num_epochs,
                     shuffle_buffer_size=max(cfg.shuffle_buffer_size, 1),
                     seed=args.seed, max_steps=cfg.train_steps,
+                    chunk_records=args.stream_chunk_records,
                     limit=args.limit_examples,
                     host_index=jax.process_index(),
                     host_count=jax.process_count(),
@@ -231,24 +236,54 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                 from recalgorithm_tpu.parallel import multihost
 
                 train_iter = multihost.synchronized_iterator(train_iter)
-        eval_arrays = pipeline.load_dataset(
-            args.eval_data, schema, vocabs, limit=args.limit_examples
-        )
-        eval_fn = lambda: pipeline.batches(
-            eval_arrays, cfg.batch_size, num_epochs=1, shuffle=False
-        )
-        eval_labels = eval_arrays.labels
-        eval_groups = eval_arrays.categorical.get("userid")
+        # ---- eval input: per-host shards (each example scored exactly once
+        # globally; the round-3 bug fed every host the FULL split, so the
+        # assembled mesh batches scored each row process_count times).  All
+        # eval batches carry `_weights` (pad mask) and `_index` (global row
+        # id) so the predict path can reassemble file order after the mesh
+        # interleaves host shards.
+        nproc = jax.process_count()
+        if args.stream:
+            # bounded-RAM eval: chunked strided per-host stream; multi-host
+            # hosts pad into lock-step (no row lost, no collective skew)
+            def eval_fn():
+                it = pipeline.stream_eval_batches(
+                    args.eval_data, schema, vocabs, cfg.batch_size,
+                    chunk_records=args.stream_chunk_records,
+                    limit=args.limit_examples,
+                    host_index=jax.process_index(), host_count=nproc,
+                )
+                if nproc > 1:
+                    it = multihost.aligned_iterator(
+                        it,
+                        lambda: pipeline.zero_batch(schema, cfg.batch_size),
+                    )
+                return it
+        else:
+            eval_arrays = pipeline.load_dataset(
+                args.eval_data, schema, vocabs, limit=args.limit_examples
+            )
+            if nproc > 1:
+                n_eval_total = eval_arrays.num_examples
+                start, _ = multihost.host_shard_range(n_eval_total)
+                eval_shard = pipeline.shard_for_host(eval_arrays)
+                del eval_arrays  # keep only this host's rows resident
+                # every host steps the batch count of the LARGEST shard
+                # (the last host holds the remainder); short hosts emit
+                # zero-weight padding batches
+                per = n_eval_total // nproc
+                nb = -(-(per + n_eval_total % nproc) // cfg.batch_size)
+                eval_fn = lambda: pipeline.eval_batches(
+                    eval_shard, cfg.batch_size, num_batches=nb,
+                    index_offset=start,
+                )
+            else:
+                eval_fn = lambda: pipeline.eval_batches(
+                    eval_arrays, cfg.batch_size
+                )
+        eval_labels = None  # filled from the collected predict columns below
+        eval_groups = None
         eval_ids = {}
-        # Original string tokens for the id columns, via the inverse vocab —
-        # the reference joins predictions with the raw test CSV so
-        # predictions.csv carries real userid/feedid strings
-        # (wide_and_deep.py:370-375); vocab-remapped integers would mismatch
-        # every row of any downstream join.
-        for k in ("userid", "feedid"):
-            if k in eval_arrays.categorical:
-                toks = np.asarray([""] + vocabs[k].tokens(), dtype=object)
-                eval_ids[k] = toks[eval_arrays.categorical[k]]
 
     # ---- model + trainer
     model = model_cls(config=cfg, schema=schema)
@@ -302,7 +337,40 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         print(f"{key}: {final_eval[key]}")
 
     # ---- predictions.csv (reference wide_and_deep.py:370-375)
-    probs = trainer.predict(state, eval_fn())
+    if args.synthetic:
+        probs = trainer.predict(state, eval_fn())
+    else:
+        # Predict with row-aligned metadata gathered through the mesh: the
+        # per-batch outputs are GLOBAL arrays (every process gets the full
+        # set), `_index` reassembles original file order, and the original
+        # string tokens for the id columns come from the inverse vocab —
+        # the reference joins predictions with the raw test CSV so
+        # predictions.csv carries real userid/feedid strings
+        # (wide_and_deep.py:370-375); vocab-remapped integers would
+        # mismatch every row of any downstream join.
+        id_cols = [k for k in ("userid", "feedid")
+                   if k in schema.categorical_names]
+        probs, collected = trainer.predict(
+            state, eval_fn(), collect=("labels", "_index", *id_cols)
+        )
+        order = np.argsort(collected["_index"], kind="stable")
+        probs = {t: v[order] for t, v in probs.items()}
+        collected = {k: v[order] for k, v in collected.items()}
+        idx = collected["_index"]
+        assert len(idx) == len(np.unique(idx)), (
+            "duplicate eval rows in predictions — host sharding fed some "
+            "example to more than one process"
+        )
+        if args.limit_examples is None:
+            assert np.array_equal(idx, np.arange(len(idx))), (
+                "eval row ids are not contiguous from 0 — some example was "
+                "never scored"
+            )
+        eval_labels = collected["labels"]
+        eval_groups = collected.get("userid")
+        for k in id_cols:
+            toks = np.asarray([""] + vocabs[k].tokens(), dtype=object)
+            eval_ids[k] = toks[collected[k]]
 
     # Unbinned rank AUC beside the 200-bin streaming approximation: the
     # binned metric matches tf.metrics.auc for comparability, the exact one
@@ -332,29 +400,31 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
 
     import csv
 
-    if os.path.dirname(args.predictions_csv):
-        os.makedirs(os.path.dirname(args.predictions_csv), exist_ok=True)
-    with open(args.predictions_csv, "w", newline="") as f:
-        writer = csv.writer(f)
-        tasks = list(cfg.task_names)
-        id_cols = sorted(eval_ids)
-        header = id_cols + [f"{t}_probabilities" for t in tasks]
-        if eval_labels is not None:
-            header += list(schema.labels)
-        writer.writerow(header)
-        n = len(next(iter(probs.values())))
-        for c in id_cols:
-            assert len(eval_ids[c]) == n, (
-                f"id column {c!r} has {len(eval_ids[c])} rows but predictions "
-                f"have {n}; refusing to write a misaligned predictions.csv"
-            )
-        for i in range(n):
-            row = [str(eval_ids[c][i]) for c in id_cols]
-            row += [f"{probs[t][i]:.6f}" for t in tasks]
-            if eval_labels is not None and i < len(eval_labels):
-                row += [f"{v:g}" for v in eval_labels[i]]
-            writer.writerow(row)
-    print(f"wrote {args.predictions_csv}")
+    if jax.process_index() == 0:  # every process holds the same global rows
+        if os.path.dirname(args.predictions_csv):
+            os.makedirs(os.path.dirname(args.predictions_csv), exist_ok=True)
+        with open(args.predictions_csv, "w", newline="") as f:
+            writer = csv.writer(f)
+            tasks = list(cfg.task_names)
+            id_cols = sorted(eval_ids)
+            header = id_cols + [f"{t}_probabilities" for t in tasks]
+            if eval_labels is not None:
+                header += list(schema.labels)
+            writer.writerow(header)
+            n = len(next(iter(probs.values())))
+            for c in id_cols:
+                assert len(eval_ids[c]) == n, (
+                    f"id column {c!r} has {len(eval_ids[c])} rows but "
+                    f"predictions have {n}; refusing to write a misaligned "
+                    "predictions.csv"
+                )
+            for i in range(n):
+                row = [str(eval_ids[c][i]) for c in id_cols]
+                row += [f"{probs[t][i]:.6f}" for t in tasks]
+                if eval_labels is not None and i < len(eval_labels):
+                    row += [f"{v:g}" for v in eval_labels[i]]
+                writer.writerow(row)
+        print(f"wrote {args.predictions_csv}")
 
     # Host-gathered variables are needed by Recall@K and the StableHLO
     # export; the gather is a COLLECTIVE (process_allgather) entered on

@@ -244,6 +244,145 @@ def batches(
                 return
 
 
+def eval_batches(
+    data: DatasetArrays,
+    batch_size: int,
+    num_batches: int | None = None,
+    index_offset: int = 0,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Order-preserving eval batches with uniform metadata columns.
+
+    Unlike :func:`batches`, EVERY batch carries ``_weights`` (0/1 real-row
+    mask) and ``_index`` (global row id = ``index_offset`` + local position;
+    -1 on padding) — a single jit signature across the whole pass, and the
+    row ids let multi-host callers reassemble predictions in original file
+    order regardless of how the mesh interleaves host shards.
+
+    ``num_batches`` forces the exact batch count: hosts whose shard is
+    smaller than the largest shard emit fully-padded zero-weight batches so
+    every process enters the same number of collective eval steps
+    (reference eval path is single-process, utils.py:29-46; this is the
+    multi-host contract it never needed).
+    """
+    n = data.num_examples
+    flat = data.as_flat()
+    total = num_batches if num_batches is not None else -(-n // batch_size)
+    for b in range(total):
+        start = b * batch_size
+        valid = min(max(n - start, 0), batch_size)
+        batch = {}
+        for k, v in flat.items():
+            if valid == batch_size:
+                batch[k] = v[start : start + batch_size]
+            else:
+                pad_shape = (batch_size - valid,) + v.shape[1:]
+                batch[k] = np.concatenate(
+                    [v[start : start + valid], np.zeros(pad_shape, v.dtype)]
+                )
+        batch["_weights"] = np.concatenate(
+            [np.ones(valid, np.float32),
+             np.zeros(batch_size - valid, np.float32)]
+        )
+        batch["_index"] = np.concatenate(
+            [index_offset + start + np.arange(valid, dtype=np.int32),
+             np.full(batch_size - valid, -1, np.int32)]
+        )
+        yield batch
+
+
+def zero_batch(schema: Schema, batch_size: int) -> dict[str, np.ndarray]:
+    """An all-padding batch (zero ``_weights``, ``_index`` = -1) with the
+    schema's exact shapes/dtypes — what a host short on eval data feeds the
+    collective step while its peers drain their longer shards."""
+    batch = {
+        k: np.zeros(shape, dtype)
+        for k, (shape, dtype) in schema.batch_spec(batch_size).items()
+    }
+    batch["_weights"] = np.zeros(batch_size, np.float32)
+    batch["_index"] = np.full(batch_size, -1, np.int32)
+    return batch
+
+
+def stream_eval_batches(
+    path: str,
+    schema: Schema,
+    vocabs: VocabularyStore,
+    batch_size: int,
+    chunk_records: int = 65536,
+    limit: int | None = None,
+    host_index: int = 0,
+    host_count: int = 1,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Bounded-RAM eval stream: chunked reads, no shuffle, global row ids.
+
+    This host reads the strided chunk set ``c % host_count == host_index``
+    (disjoint across hosts, same ownership rule as :func:`stream_batches`)
+    and yields fixed-shape ``eval_batches``-style batches whose ``_index``
+    column carries the GLOBAL record number — so a multi-host caller can
+    sort gathered predictions back into file order.  Peak memory: one chunk,
+    independent of split size.  Hosts may yield different batch counts; wrap
+    with ``parallel.multihost.aligned_iterator`` to pad them into lock-step.
+    """
+    steps = 0
+    offset = -1  # byte offset carried between native reads
+    c = 0        # this host's chunk counter
+    taken = 0
+    carry: dict[str, np.ndarray] | None = None  # partial batch across chunks
+
+    def slices(flat: dict[str, np.ndarray]):
+        """Cut a chunk (plus any carried partial rows) into full batches."""
+        nonlocal carry
+        if carry is not None:
+            flat = {k: np.concatenate([carry[k], flat[k]]) for k in flat}
+            carry = None
+        n = len(flat["_index"])
+        full = n // batch_size
+        for b in range(full):
+            yield {k: v[b * batch_size : (b + 1) * batch_size]
+                   for k, v in flat.items()}
+        if n % batch_size:
+            carry = {k: v[full * batch_size :] for k, v in flat.items()}
+
+    while True:
+        want = chunk_records
+        if limit is not None:
+            want = min(want, limit - taken)
+            if want <= 0:
+                break
+        if offset > 0:
+            skip = (host_count - 1) * chunk_records
+        else:
+            skip = (c * host_count + host_index) * chunk_records
+        box: list = []
+        data = load_dataset(path, schema, vocabs, limit=want, skip=skip,
+                            start_offset=offset, end_offset_box=box)
+        if data.num_examples == 0:
+            break
+        taken += data.num_examples
+        global_start = (c * host_count + host_index) * chunk_records
+        flat = dict(data.as_flat())
+        flat["_weights"] = np.ones(data.num_examples, np.float32)
+        flat["_index"] = global_start + np.arange(
+            data.num_examples, dtype=np.int32
+        )
+        for batch in slices(flat):
+            yield batch
+            steps += 1
+        if data.num_examples < want:
+            break
+        c += 1
+        offset = box[0] if box and box[0] > 0 else -1
+    if carry is not None:  # pad the tail to the fixed shape
+        valid = len(carry["_index"])
+        out = {}
+        for k, v in carry.items():
+            pad_shape = (batch_size - valid,) + v.shape[1:]
+            out[k] = np.concatenate([v, np.zeros(pad_shape, v.dtype)])
+        out["_weights"][valid:] = 0.0
+        out["_index"][valid:] = -1
+        yield out
+
+
 def stream_batches(
     path: str,
     schema: Schema,

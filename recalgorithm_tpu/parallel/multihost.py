@@ -93,6 +93,51 @@ def agreed_flag(flag: bool) -> bool:
     )
 
 
+def aligned_iterator(it, make_pad, reduce_max=None, window: int = 8):
+    """Lock-step eval coordination that PADS short hosts instead of dropping.
+
+    The training-side ``synchronized_iterator`` truncates every host to the
+    global-minimum batch count (drop_remainder semantics) — correct for
+    training, lossy for eval, where every example must be scored exactly
+    once.  Here each window all-reduces the global MAXIMUM count and hosts
+    holding fewer batches top up with ``make_pad()`` batches (fully padded,
+    zero ``_weights``) so every process enters the same number of collective
+    eval steps while no real row is lost.
+
+    ``reduce_max`` (local count -> global max) is injectable for tests; the
+    default all-gathers across processes.  Single-process: passthrough.
+    """
+    it = iter(it)
+    if reduce_max is None:
+        if jax.process_count() == 1:
+            yield from it
+            return
+
+        def reduce_max(count: int) -> int:
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(
+                np.asarray(count, np.int32)
+            )
+            return int(np.max(counts))
+
+    while True:
+        buf = []
+        for _ in range(window):
+            try:
+                buf.append(next(it))
+            except StopIteration:
+                break
+        m = reduce_max(len(buf))
+        if m == 0:
+            return
+        yield from buf
+        for _ in range(m - len(buf)):
+            yield make_pad()
+        if m < window:
+            return
+
+
 def synchronized_iterator(it, reduce_min=None, window: int = 8):
     """Lock-step end-of-data coordination for per-host input streams.
 

@@ -503,21 +503,47 @@ class Trainer:
         return self._metrics_snapshot(eval_state)
 
     def predict(
-        self, state: TrainState, batches: Iterable[Mapping[str, np.ndarray]]
-    ) -> dict[str, np.ndarray]:
-        """Probabilities per task, concatenated over batches (PREDICT parity)."""
+        self,
+        state: TrainState,
+        batches: Iterable[Mapping[str, np.ndarray]],
+        collect: tuple[str, ...] = (),
+    ) -> dict[str, np.ndarray] | tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+        """Probabilities per task, concatenated over batches (PREDICT parity).
+
+        Multi-process safe: the per-batch outputs are GLOBAL arrays sharded
+        over the mesh — each is gathered to full host numpy collectively
+        (every process enters), so every process returns the full global
+        prediction set, padding rows dropped by the global ``_weights``.
+
+        ``collect`` names extra numeric batch columns (labels, ``_index``,
+        id columns) to gather through the same path; they come back row-
+        aligned with the probabilities.  With a non-empty ``collect`` the
+        return is ``(probs, collected)``.
+        """
         self._compile()
         outs: dict[str, list[np.ndarray]] = {t: [] for t in self.task_names}
+        extras: dict[str, list[np.ndarray]] = {k: [] for k in collect}
         for hb in batches:
             batch = self._put_batch(hb)
             probs = self._predict_jit(state.params, state.batch_stats, batch)
-            w = hb.get("_weights")
+            w = batch.get("_weights")
+            keep = _leaf_to_host(w) > 0 if w is not None else None
             for t in self.task_names:
-                p = np.asarray(probs[t])
-                if w is not None:
-                    p = p[np.asarray(w) > 0]
-                outs[t].append(p)
-        return {t: np.concatenate(v) if v else np.empty((0,)) for t, v in outs.items()}
+                p = _leaf_to_host(probs[t])
+                outs[t].append(p[keep] if keep is not None else p)
+            for k in collect:
+                v = _leaf_to_host(batch[k])
+                extras[k].append(v[keep] if keep is not None else v)
+        result = {
+            t: np.concatenate(v) if v else np.empty((0,))
+            for t, v in outs.items()
+        }
+        if collect:
+            return result, {
+                k: np.concatenate(v) if v else np.empty((0,))
+                for k, v in extras.items()
+            }
+        return result
 
     def train_and_evaluate(
         self,

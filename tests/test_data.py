@@ -241,3 +241,97 @@ def test_stats_reporter(tmp_path):
         assert 0 <= s[f"{name}_length"]["mean"] <= schema.sequence[0].max_length + 24
     for name in data.categorical:
         assert 0.0 <= s[f"{name}_oov_frac"] <= 1.0
+
+
+def test_eval_batches_metadata_and_forced_count(tmp_path):
+    """eval_batches: every batch carries _weights + global _index; a forced
+    num_batches pads short hosts with zero-weight batches (multi-host eval
+    lock-step contract behind the round-4 CLI eval/predict fix)."""
+    path, vocab_dir, _ = _write_tiny_dataset(tmp_path, n=7)
+    vocabs = VocabularyStore.from_dir(str(vocab_dir))
+    schema = wechat_schema(vocabs.sizes())
+    data = pipeline.load_dataset(str(path), schema, vocabs)
+
+    got = list(pipeline.eval_batches(data, batch_size=3, index_offset=10))
+    assert len(got) == 3
+    for b in got:
+        assert "_weights" in b and "_index" in b
+        assert b["dense"].shape[0] == 3
+    idx = np.concatenate([b["_index"][b["_weights"] > 0] for b in got])
+    np.testing.assert_array_equal(idx, 10 + np.arange(7))
+    # padding rows carry _index == -1
+    assert (got[-1]["_index"][got[-1]["_weights"] == 0] == -1).all()
+
+    # forced count: two extra fully-padded batches
+    forced = list(pipeline.eval_batches(data, batch_size=3, num_batches=5))
+    assert len(forced) == 5
+    assert (forced[3]["_weights"] == 0).all() and (forced[4]["_weights"] == 0).all()
+    idx = np.concatenate([b["_index"][b["_weights"] > 0] for b in forced])
+    np.testing.assert_array_equal(idx, np.arange(7))
+
+
+def test_stream_eval_batches_two_hosts_cover_split_in_order(tmp_path):
+    """stream_eval_batches: strided per-host chunks, global _index row ids —
+    the union of two hosts' weighted rows is every record exactly once, and
+    sorting by _index reproduces the original file order."""
+    path, vocab_dir, _ = _write_tiny_dataset(tmp_path, n=23)
+    vocabs = VocabularyStore.from_dir(str(vocab_dir))
+    schema = wechat_schema(vocabs.sizes())
+    whole = pipeline.load_dataset(str(path), schema, vocabs)
+
+    rows = []
+    for h in (0, 1):
+        for b in pipeline.stream_eval_batches(
+            str(path), schema, vocabs, batch_size=4, chunk_records=5,
+            host_index=h, host_count=2,
+        ):
+            assert b["dense"].shape[0] == 4  # fixed shape incl. padded tail
+            keep = b["_weights"] > 0
+            rows.append((b["_index"][keep], b["userid"][keep]))
+    idx = np.concatenate([r[0] for r in rows])
+    users = np.concatenate([r[1] for r in rows])
+    order = np.argsort(idx)
+    np.testing.assert_array_equal(idx[order], np.arange(23))
+    np.testing.assert_array_equal(users[order], whole.categorical["userid"])
+
+
+def test_zero_batch_matches_schema_spec():
+    schema = wechat_schema()
+    b = pipeline.zero_batch(schema, 6)
+    for k, (shape, dtype) in schema.batch_spec(6).items():
+        assert b[k].shape == shape and b[k].dtype == dtype
+    assert (b["_weights"] == 0).all() and (b["_index"] == -1).all()
+
+
+def test_aligned_iterator_pads_short_hosts():
+    """aligned_iterator: unequal per-host eval streams pad up to the global
+    MAX with zero-weight batches — no real row dropped, identical collective
+    step counts (contrast synchronized_iterator, which truncates)."""
+    from recalgorithm_tpu.parallel.multihost import aligned_iterator
+
+    # host0: 5 batches, host1: 2; window 2 -> per-window counts [2,2,1] / [2,0,0]
+    per_window = {0: [2, 2, 1], 1: [2, 0, 0]}
+    calls: dict[int, int] = {0: 0, 1: 0}
+
+    def make_reduce(host):
+        def reduce_max(count):
+            i = calls[host]
+            calls[host] += 1
+            other = per_window[1 - host]
+            return max(count, other[i] if i < len(other) else 0)
+        return reduce_max
+
+    pad = object()
+    out0 = list(aligned_iterator(iter(range(5)), lambda: pad,
+                                 make_reduce(0), window=2))
+    out1 = list(aligned_iterator(iter(range(2)), lambda: pad,
+                                 make_reduce(1), window=2))
+    # both hosts yield the same count; host1 padded up to host0's length
+    assert out0 == [0, 1, 2, 3, 4]
+    assert out1 == [0, 1, pad, pad, pad]
+
+
+def test_aligned_iterator_single_process_passthrough():
+    from recalgorithm_tpu.parallel.multihost import aligned_iterator
+
+    assert list(aligned_iterator(iter([1, 2]), lambda: None)) == [1, 2]
