@@ -21,6 +21,7 @@ import flax.linen as nn
 from recalgorithm_tpu.features.schema import Schema
 from recalgorithm_tpu.models import common
 from recalgorithm_tpu.models.pnn import PNN_FIELDS, PNN_VOCABS
+from recalgorithm_tpu.ops.attention import resolve_fused
 from recalgorithm_tpu.ops.interactions import InteractingLayer
 from recalgorithm_tpu.ops.mlp import Dense, MLPTower
 
@@ -31,6 +32,11 @@ class AutoIntConfig(common.TrainFlags):
     att_layers: int = 3
     num_heads: int = 2
     head_dim: int = 16
+    # Pallas field-attention core: "auto" = on for TPU backends
+    # (ops.attention.resolve_fused).  The plain einsum chain's (B, H, F, F)
+    # tensors pad their 9-wide minor dims to 128 lanes — measured 3x the
+    # step time of the fused path at batch 4096 (docs/ROADMAP.md round 4).
+    use_fused_attention: str = "auto"
     use_deep_tower: bool = False  # AutoInt+ variant
     hidden_units: tuple[int, ...] = (256, 128)
     batch_norm: bool = True
@@ -55,10 +61,20 @@ class AutoInt(nn.Module):
         # dense features as one learned field (paper §3.2 numeric embedding)
         fields.append(Dense(cfg.embedding_dim, name="dense_field")(batch["dense"]))
         x = common.stack_fields(fields)  # (B, F+1, K)
+        fused = resolve_fused(cfg.use_fused_attention)
         for i in range(cfg.att_layers):
+            # fused: chain the stacked layers in the Pallas kernel layout
+            # (H, F, d, B) so the inter-layer transposes fold into the
+            # projection contractions; only the last layer pays one
+            # (B, F, H*d) un-transpose for the flattened logit.
             x = InteractingLayer(
-                cfg.num_heads, cfg.head_dim, name=f"interact_{i}"
-            )(x)
+                cfg.num_heads, cfg.head_dim, fused=fused,
+                name=f"interact_{i}",
+            )(
+                x,
+                kernel_in=fused and i > 0,
+                kernel_out=fused and i < cfg.att_layers - 1,
+            )
         logit = Dense(1, name="logit")(x.reshape(x.shape[0], -1))[:, 0]
         if cfg.use_deep_tower:
             deep_in = jnp.concatenate(

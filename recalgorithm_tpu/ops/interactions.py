@@ -324,30 +324,83 @@ class InteractingLayer(nn.Module):
     Beyond-reference addition, Song et al. 2019 (arXiv:1810.11921 §3.4):
     per head h, score(f, g) = <W_q e_f, W_k e_g> (unscaled inner product,
     as in the paper), softmax over g, heads concatenated, plus a residual
-    projection and relu.  One batched einsum chain over the (B, F, K)
-    field tensor — F is tiny (<= 16), so the whole layer is a handful of
-    MXU matmuls plus an (F, F) softmax.
+    projection and relu.
+
+    Two execution paths over the (B, F, K) field tensor:
+
+      * plain einsum chain (default): XLA lowers the per-head score/mix
+        einsums to (F, d) x (d, F) batched matmuls whose minor dims are 9
+        and 16 — every HBM tensor pads its lane dim 9 -> 128 (14x wasted
+        bandwidth, measured ~30 GB/s effective on the (B, 2, 9, 9) score
+        fusions) plus ~5 ms/step of layout copies at batch 4096,
+      * ``fused=True``: the Pallas BST MHA kernel in TRANSPOSED layout —
+        batch on the 128-lane axis, (field, dim) on sublanes — with the
+        whole softmax(q k^T) v core VMEM-resident.  AutoInt's scores are
+        UNSCALED inner products, so q is pre-multiplied by sqrt(d) to
+        cancel the kernel's 1/sqrt(d) exactly (d=16 -> x4.0, an exact
+        power of two: bit-identical scores).  ``kernel_in``/``kernel_out``
+        let stacked layers chain in kernel layout (P, F, d, B) so the
+        inter-layer transposes fold into the projection contractions.
+
+    Both paths share the same parameters (checkpoint-interchangeable);
+    equivalence is asserted in tests/test_interactions.py.
     """
 
     num_heads: int
     head_dim: int
+    fused: bool = False
+    interpret: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:  # (B, F, K) -> (B, F, H*d)
+    def __call__(
+        self,
+        x: jax.Array,
+        kernel_in: bool = False,
+        kernel_out: bool = False,
+    ) -> jax.Array:  # (B, F, K) -> (B, F, H*d); kernel layout: (H, F, d, B)
         h, d = self.num_heads, self.head_dim
-        k_in = x.shape[-1]
+        if kernel_in:
+            p, f, dp, b = x.shape
+            k_in = p * dp
+        else:
+            b, f, k_in = x.shape[0], x.shape[1], x.shape[-1]
         wq = self.param("w_query", glorot_uniform, (k_in, h * d))
         wk = self.param("w_key", glorot_uniform, (k_in, h * d))
         wv = self.param("w_value", glorot_uniform, (k_in, h * d))
         wr = self.param("w_res", glorot_uniform, (k_in, h * d))
-        b, f = x.shape[0], x.shape[1]
-        q = (x @ wq).reshape(b, f, h, d)
-        k = (x @ wk).reshape(b, f, h, d)
-        v = (x @ wv).reshape(b, f, h, d)
-        scores = jnp.einsum("bfhd,bghd->bhfg", q, k, precision=_HI)
-        att = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhfg,bghd->bfhd", att, v, precision=_HI)
-        return nn.relu(out.reshape(b, f, h * d) + x @ wr)
+
+        if not self.fused:
+            assert not (kernel_in or kernel_out), "kernel layout needs fused"
+            q = (x @ wq).reshape(b, f, h, d)
+            k = (x @ wk).reshape(b, f, h, d)
+            v = (x @ wv).reshape(b, f, h, d)
+            scores = jnp.einsum("bfhd,bghd->bhfg", q, k, precision=_HI)
+            att = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhfg,bghd->bfhd", att, v, precision=_HI)
+            return nn.relu(out.reshape(b, f, h * d) + x @ wr)
+
+        from recalgorithm_tpu.ops.pallas.bst_attention import bst_mha_fused_t
+
+        if kernel_in:
+            proj = lambda w: jnp.einsum(
+                "pfdb,pdhj->hfjb", x, w.reshape(p, dp, h, d), precision=_HI
+            )
+        else:
+            proj = lambda w: jnp.einsum(
+                "bfk,khj->hfjb", x, w.reshape(k_in, h, d), precision=_HI
+            )
+        qT = proj(wq) * (d**0.5)  # cancels the kernel's 1/sqrt(d)
+        kT, vT, resT = proj(wk), proj(wv), proj(wr)
+        lengths = jnp.full((b,), f, jnp.int32)  # all fields valid: no mask
+        outT = bst_mha_fused_t(
+            qT.reshape(h, f * d, b), kT.reshape(h, f * d, b),
+            vT.reshape(h, f * d, b), lengths, f, self.interpret,
+        )
+        out4 = nn.relu(outT.reshape(h, f, d, b) + resT)
+        if kernel_out:
+            return out4
+        # (H, F, d, B) -> (B, F, H*d), matching the plain path's head order
+        return out4.transpose(3, 1, 0, 2).reshape(b, f, h * d)
 
 
 class MaskBlock(nn.Module):

@@ -345,3 +345,40 @@ def test_gated_cross_network_formula():
         )
     )
     assert not np.allclose(got, ungated)
+
+
+def test_interacting_layer_fused_matches_plain():
+    """The Pallas fused path (interpret mode on CPU) must equal the plain
+    einsum path on the SAME params — value AND gradient — including the
+    kernel-layout chaining used by AutoInt's stacked layers (round-4 perf
+    fix: plain path pads 9-wide minor dims to 128 lanes, measured 3x slower
+    than the fused kernel at batch 4096)."""
+    h, d, B_, F_, K_ = 2, 16, 16, 9, 16
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B_, F_, K_)).astype(np.float32))
+    plain = I.InteractingLayer(num_heads=h, head_dim=d)
+    fused = I.InteractingLayer(num_heads=h, head_dim=d, fused=True,
+                               interpret=True)
+    # 3 stacked layers: layer 0 takes standard layout, middles chain in
+    # kernel layout, last returns standard — exactly AutoInt's wiring
+    ps = [plain.init(jax.random.key(i),
+                     x if i == 0 else jnp.zeros((B_, F_, h * d)))
+          for i in range(3)]
+
+    def stack_plain(x):
+        for i in range(3):
+            x = plain.apply(ps[i], x)
+        return x
+
+    def stack_fused(x):
+        for i in range(3):
+            x = fused.apply(ps[i], x, kernel_in=i > 0, kernel_out=i < 2)
+        return x
+
+    a, b = stack_plain(x), stack_fused(x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    ga = jax.grad(lambda xx: jnp.sum(stack_plain(xx) ** 2))(x)
+    gb = jax.grad(lambda xx: jnp.sum(stack_fused(xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-3, atol=1e-3)
