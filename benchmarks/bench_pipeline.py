@@ -53,11 +53,69 @@ def make_arrays(rows: int):
     )
 
 
+def _bench_etl(scale: float) -> None:
+    """Stage-timed WeChatETL wall times over reference-shaped raw CSVs
+    (VERDICT r3 item 7: the reference's DataGenerator has no published
+    runtime; this pins ours at >= 1M rows)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from recalgorithm_tpu.data.etl import WeChatETL
+    from recalgorithm_tpu.data.synth_raw import RawConfig, generate_raw_csvs
+
+    root = tempfile.mkdtemp(prefix="bench_etl_")
+    try:
+        t0 = time.perf_counter()
+        stats = generate_raw_csvs(root, RawConfig(scale=scale, seed=1))
+        gen_s = time.perf_counter() - t0
+
+        etl = WeChatETL(root + "/", root + "/")
+        stage_s = {}
+        t0 = time.perf_counter()
+        ua, fi = etl._load(pd)
+        stage_s["load"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        etl._generate_vocabulary(pd, ua, fi)
+        stage_s["vocabulary"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        frames = etl._generate_features(pd, ua, fi)
+        stage_s["features"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        train_df, test_df = etl._generate_dataframe(pd, ua, fi, frames)
+        stage_s["dataframe"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        etl._generate_tfrecord(pd, train_df, "train.tfrecord")
+        etl._generate_tfrecord(pd, test_df, "test.tfrecord")
+        stage_s["tfrecord"] = time.perf_counter() - t0
+        total = sum(stage_s.values())
+        print(json.dumps({
+            "metric": "etl_wall_time",
+            "scale": scale,
+            "raw_action_rows": stats["rows"],
+            "sample_rows": int(len(train_df) + len(test_df)),
+            "csv_gen_s": round(gen_s, 1),
+            "stages_s": {k: round(v, 1) for k, v in stage_s.items()},
+            "total_s": round(total, 1),
+            "sample_rows_per_s": round(
+                (len(train_df) + len(test_df)) / total, 1),
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=500_000)
     p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--etl_scale", type=float, default=0.0,
+                   help="also time the full WeChatETL over synth_raw CSVs at "
+                        "this scale (0.2 ~ 1.5M action rows); 0 skips")
     args = p.parse_args()
+
+    if args.etl_scale > 0:
+        _bench_etl(args.etl_scale)
 
     from recalgorithm_tpu.data import pipeline
 

@@ -18,8 +18,17 @@ TFRecord writer (no TensorFlow).  Layout and semantics parity:
   * tfrecord/{train,test}.tfrecord — SequenceExample with float context
     dense/labels, bytes context categoricals ('' when missing), bytes
     sequence feature_lists (DataGenerator.py:406-443),
-  * idempotence sentinels per stage (VOCAB_FILE_ALREADY etc.,
-    DataGenerator.py:172-174).
+  * idempotence sentinels per stage, matching the reference's
+    (VOCAB_FILE_ALREADY DataGenerator.py:172-174, FEATURE_FILE_ALREADY
+    229-231, DATAFRAME_ALREADY 352-354, TFRECORD_ALREADY 396-398): a
+    crashed run resumes at the first incomplete stage — the features stage
+    caches its four aggregate frames as features/*.pkl (reference layout),
+    the dataframe stage reads its CSVs back instead of re-joining,
+  * ``chunk_dates=True``: low-RAM mode — the 7-window sample join runs one
+    feature date at a time, appending to the CSVs and TFRecords, so peak
+    memory is one date's join (~1/7 of the split) instead of the whole
+    sample table.  The default all-in-RAM join is fine at the reference's
+    3.3M rows (~2 GB); chunked mode is for bigger-than-reference reruns.
 """
 
 from __future__ import annotations
@@ -50,10 +59,13 @@ class WeChatETL:
       out_path: output root (vocabulary/, dataframe/, tfrecord/ created here).
     """
 
-    def __init__(self, dataset_dir: str = "./", out_path: str = "./"):
+    def __init__(self, dataset_dir: str = "./", out_path: str = "./",
+                 chunk_dates: bool = False):
         self.dataset_dir = dataset_dir
         self.out_path = out_path
+        self.chunk_dates = chunk_dates
         self.vocab_dir = os.path.join(out_path, "vocabulary")
+        self.features_dir = os.path.join(out_path, "features")
         self.dataframe_dir = os.path.join(out_path, "dataframe")
         self.tfrecord_dir = os.path.join(out_path, "tfrecord")
 
@@ -63,11 +75,22 @@ class WeChatETL:
         user_action, feed_info = self._load(pd)
         self._generate_vocabulary(pd, user_action, feed_info)
         frames = self._generate_features(pd, user_action, feed_info)
+        if self.chunk_dates:
+            self._generate_chunked(pd, user_action, feed_info, frames)
+            return
         train_df, test_df = self._generate_dataframe(
             pd, user_action, feed_info, frames
         )
         self._generate_tfrecord(pd, train_df, "train.tfrecord")
         self._generate_tfrecord(pd, test_df, "test.tfrecord")
+
+    @staticmethod
+    def _done(dir_: str, sentinel: str) -> bool:
+        return os.path.exists(os.path.join(dir_, sentinel))
+
+    @staticmethod
+    def _mark(dir_: str, sentinel: str) -> None:
+        open(os.path.join(dir_, sentinel), "w").close()
 
     # -- stages ---------------------------------------------------------------
 
@@ -129,7 +152,19 @@ class WeChatETL:
         open(sentinel, "w").close()
 
     def _generate_features(self, pd, user_action, feed_info) -> dict:
-        """The four aggregate frames, concatenated over the 7 windows."""
+        """The four aggregate frames, concatenated over the 7 windows.
+
+        Cached as features/*.pkl (the reference's features/ layout,
+        DataGenerator.py:229-231) behind a FEATURE_FILE_ALREADY sentinel:
+        a crash in a later stage resumes here with an unpickle, not a
+        recompute of the windowed aggregations."""
+        os.makedirs(self.features_dir, exist_ok=True)
+        names = ("user", "seq", "feed", "cross")
+        if self._done(self.features_dir, "FEATURE_FILE_ALREADY"):
+            return {
+                n: pd.read_pickle(os.path.join(self.features_dir, n + ".pkl"))
+                for n in names
+            }
         user_arr, seq_arr, feed_arr, cross_arr = [], [], [], []
         cross_base = pd.merge(
             user_action[["userid", "feedid", "date_", "read_comment"]],
@@ -177,16 +212,20 @@ class WeChatETL:
             ca = ca[ca["c_user_author_read_comment_7d_sum"] > 0]
             ca["date_"] = date_val
             cross_arr.append(ca)
-        return {
+        frames = {
             "user": pd.concat(user_arr, ignore_index=True),
             "seq": pd.concat(seq_arr, ignore_index=True),
             "feed": pd.concat(feed_arr, ignore_index=True),
             "cross": pd.concat(cross_arr, ignore_index=True),
         }
+        for n in names:
+            frames[n].to_pickle(os.path.join(self.features_dir, n + ".pkl"))
+        self._mark(self.features_dir, "FEATURE_FILE_ALREADY")
+        return frames
 
-    def _generate_dataframe(self, pd, user_action, feed_info, frames):
-        os.makedirs(self.dataframe_dir, exist_ok=True)
-        df = user_action[user_action["date_"].between(8, 14)]
+    def _join_window(self, pd, user_action, feed_info, frames, dates):
+        """The sample-table join for a subset of feature dates."""
+        df = user_action[user_action["date_"].isin(dates)]
         df = pd.merge(df, feed_info, on="feedid", how="left")
         df = pd.merge(df, frames["user"], on=["userid", "date_"], how="left")
         df = pd.merge(df, frames["seq"], on=["userid", "date_"], how="left")
@@ -198,23 +237,88 @@ class WeChatETL:
             # NaN -> 0 then log1p: log1p(0) == 0 == the reference's NaN fill
             # (DataGenerator.py:374-377)
             df[col] = np.log1p(df[col].fillna(0.0).astype(np.float64))
+        return df
+
+    def _read_dataframe_csv(self, pd, fname: str):
+        """Read a dataframe CSV back with its list columns re-materialised
+        (crash-resume path: the join is on disk, only TFRecords remain)."""
+        import ast
+
+        def as_list(v):
+            # missing cells round-trip as ''/NaN; lists as their repr
+            if isinstance(v, str) and v.startswith("["):
+                return ast.literal_eval(v)
+            return np.nan
+
+        return pd.read_csv(
+            os.path.join(self.dataframe_dir, fname),
+            converters={"his_read_comment_7d_seq": as_list,
+                        "manual_tag_list": as_list},
+        )
+
+    def _generate_dataframe(self, pd, user_action, feed_info, frames):
+        os.makedirs(self.dataframe_dir, exist_ok=True)
+        if self._done(self.dataframe_dir, "DATAFRAME_ALREADY"):
+            return (self._read_dataframe_csv(pd, "train.csv"),
+                    self._read_dataframe_csv(pd, "test.csv"))
+        df = self._join_window(pd, user_action, feed_info, frames,
+                               list(range(8, END_DAY + 1)))
         train = df[df["date_"].between(8, 13)]
         test = df[df["date_"] == 14]
         train.to_csv(os.path.join(self.dataframe_dir, "train.csv"), index=False)
         test.to_csv(os.path.join(self.dataframe_dir, "test.csv"), index=False)
+        self._mark(self.dataframe_dir, "DATAFRAME_ALREADY")
         return train, test
+
+    def _generate_chunked(self, pd, user_action, feed_info, frames) -> None:
+        """Low-RAM dataframe + tfrecord generation, one feature date at a
+        time (peak memory: one date's join).  Sentinels are per OUTPUT file
+        and written at the end — a crash reruns the whole chunked pass
+        (append-mode artifacts cannot be trusted half-written)."""
+        os.makedirs(self.dataframe_dir, exist_ok=True)
+        os.makedirs(self.tfrecord_dir, exist_ok=True)
+        df_done = self._done(self.dataframe_dir, "DATAFRAME_ALREADY")
+        tf_done = (self._done(self.tfrecord_dir, "TFRECORD_train_ALREADY")
+                   and self._done(self.tfrecord_dir, "TFRECORD_test_ALREADY"))
+        if df_done and tf_done:
+            return
+        for date in range(8, END_DAY + 1):
+            df = self._join_window(pd, user_action, feed_info, frames, [date])
+            split = "train" if date <= 13 else "test"
+            if not df_done:
+                csv = os.path.join(self.dataframe_dir, f"{split}.csv")
+                first = date == 8 or (split == "test")
+                df.to_csv(csv, index=False, mode="w" if first else "a",
+                          header=first)
+            if not tf_done:
+                self._write_tfrecord_any(
+                    df, os.path.join(self.tfrecord_dir, f"{split}.tfrecord"),
+                    append=(date not in (8, 14)),
+                )
+        if not df_done:
+            self._mark(self.dataframe_dir, "DATAFRAME_ALREADY")
+        if not tf_done:
+            self._mark(self.tfrecord_dir, "TFRECORD_train_ALREADY")
+            self._mark(self.tfrecord_dir, "TFRECORD_test_ALREADY")
 
     def _generate_tfrecord(self, pd, df, fname: str) -> None:
         os.makedirs(self.tfrecord_dir, exist_ok=True)
+        split = fname.split(".")[0]
+        sentinel = f"TFRECORD_{split}_ALREADY"
+        if self._done(self.tfrecord_dir, sentinel):
+            return
+        self._write_tfrecord_any(df, os.path.join(self.tfrecord_dir, fname))
+        self._mark(self.tfrecord_dir, sentinel)
+
+    def _write_tfrecord_any(self, df, out_path: str, append: bool = False) -> None:
         cats = ["userid", "feedid", "device", "authorid", "bgm_song_id",
                 "bgm_singer_id"]
-        out_path = os.path.join(self.tfrecord_dir, fname)
 
         # native writer first (runtime/cc/tfrecord_writer.cc): byte-identical
         # output, rows proto-encoded in parallel — the reference's row-by-row
         # Python writer is its ETL's slowest stage (DataGenerator.py:390-447)
         try:
-            self._write_tfrecord_native(df, out_path, cats)
+            self._write_tfrecord_native(df, out_path, cats, append=append)
             return
         except Exception as exc:  # no compiler on this host -> Python twin
             # never silent: a real writer defect must surface, not hide
@@ -247,10 +351,11 @@ class WeChatETL:
                 }
                 yield tfrecord.encode_sequence_example(context, fl)
 
-        tfrecord.write_records(out_path, payloads())
+        tfrecord.write_records(out_path, payloads(), append=append)
 
     def _write_tfrecord_native(self, df, out_path: str, cats: list,
-                               chunk_rows: int = 200_000) -> None:
+                               chunk_rows: int = 200_000,
+                               append: bool = False) -> None:
         """Columnar marshal + native parallel encode (loader.
         write_sequence_examples); exact same bytes as the Python path.
         Marshals and writes in ``chunk_rows`` df chunks so peak RAM is one
@@ -275,7 +380,7 @@ class WeChatETL:
                 list(WECHAT_LABELS),
                 part[list(WECHAT_LABELS)].to_numpy(np.float32),
                 ["his_read_comment_7d_seq", "manual_tag_list"], seq_cols,
-                append=start > 0,
+                append=append or start > 0,
             )
 
 
@@ -285,8 +390,12 @@ def main():
     p = argparse.ArgumentParser(description="WeChat ETL (DataGenerator parity)")
     p.add_argument("--dataset_dir", default="./")
     p.add_argument("--out_path", default="./")
+    p.add_argument("--chunk_dates", action="store_true",
+                   help="low-RAM mode: join + write one feature date at a "
+                        "time (peak memory ~1/7 of the sample table)")
     args = p.parse_args()
-    WeChatETL(args.dataset_dir, args.out_path).run()
+    WeChatETL(args.dataset_dir, args.out_path,
+              chunk_dates=args.chunk_dates).run()
 
 
 if __name__ == "__main__":

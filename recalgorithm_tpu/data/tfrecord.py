@@ -37,9 +37,9 @@ def read_records(path: str) -> Iterator[bytes]:
             yield data
 
 
-def write_records(path: str, payloads) -> None:
+def write_records(path: str, payloads, append: bool = False) -> None:
     """Write payloads as a TFRecord file (CRCs computed properly)."""
-    with open(path, "wb") as f:
+    with open(path, "ab" if append else "wb") as f:
         for data in payloads:
             length_bytes = struct.pack("<Q", len(data))
             f.write(length_bytes)

@@ -149,3 +149,78 @@ def test_etl_to_cli_training(raw_dataset, tmp_path_factory):
         assert r["feedid"] in known_feeds, r["feedid"]
         assert r["userid"] == "" or r["userid"].startswith("userid_")
         assert 0.0 <= float(r["read_comment_probabilities"]) <= 1.0
+
+
+def test_etl_chunked_matches_whole(raw_dataset, tmp_path_factory):
+    """Low-RAM chunk_dates mode produces the same TFRecords (same rows, any
+    order within a date is fixed by construction) and the same dataframe
+    contents as the all-in-RAM join."""
+    whole = tmp_path_factory.mktemp("whole")
+    chunked = tmp_path_factory.mktemp("chunked")
+    WeChatETL(str(raw_dataset) + "/", str(whole) + "/").run()
+    WeChatETL(str(raw_dataset) + "/", str(chunked) + "/",
+              chunk_dates=True).run()
+
+    for split in ("train", "test"):
+        a = pd.read_csv(whole / "dataframe" / f"{split}.csv")
+        b = pd.read_csv(chunked / "dataframe" / f"{split}.csv")
+        # the whole join orders by raw-action order within dates 8..14;
+        # the chunked join processes date-by-date — sort both for comparison
+        key = ["date_", "userid", "feedid"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_like=True)
+
+        vocabs = VocabularyStore.from_dir(str(whole / "vocabulary"))
+        schema = wechat_schema(vocabs.sizes())
+        da = pipeline.load_dataset(str(whole / "tfrecord" / f"{split}.tfrecord"),
+                                   schema, vocabs)
+        db = pipeline.load_dataset(str(chunked / "tfrecord" / f"{split}.tfrecord"),
+                                   schema, vocabs)
+        assert da.num_examples == db.num_examples
+        np.testing.assert_allclose(np.sort(da.dense.ravel()),
+                                   np.sort(db.dense.ravel()), rtol=1e-6)
+
+
+def test_etl_resumes_after_crash_mid_pipeline(raw_dataset, tmp_path_factory):
+    """Per-stage sentinels (reference DataGenerator.py:229-231, 352-354,
+    396-398): a run that crashes AFTER the dataframe stage resumes at the
+    tfrecord stage — the features come back from features/*.pkl and the
+    join from the CSVs, neither recomputed (verified by mtime)."""
+    import os
+    import time as _t
+
+    out = tmp_path_factory.mktemp("resume")
+    etl = WeChatETL(str(raw_dataset) + "/", str(out) + "/")
+
+    # simulated crash: run the first three stages, then die before tfrecord
+    import pandas as pd_mod
+    ua, fi = etl._load(pd_mod)
+    etl._generate_vocabulary(pd_mod, ua, fi)
+    frames = etl._generate_features(pd_mod, ua, fi)
+    etl._generate_dataframe(pd_mod, ua, fi, frames)
+    assert (out / "features" / "FEATURE_FILE_ALREADY").exists()
+    assert (out / "dataframe" / "DATAFRAME_ALREADY").exists()
+    assert not (out / "tfrecord" / "TFRECORD_train_ALREADY").exists()
+
+    train_csv = out / "dataframe" / "train.csv"
+    feat_pkl = out / "features" / "user.pkl"
+    m_csv, m_pkl = os.path.getmtime(train_csv), os.path.getmtime(feat_pkl)
+    _t.sleep(0.05)
+
+    etl.run()  # resume: must complete the tfrecords without rewriting stages
+    assert (out / "tfrecord" / "TFRECORD_train_ALREADY").exists()
+    assert os.path.getmtime(train_csv) == m_csv, "dataframe was recomputed"
+    assert os.path.getmtime(feat_pkl) == m_pkl, "features were recomputed"
+
+    # and the resumed TFRecords parse to the dataframe's row count
+    vocabs = VocabularyStore.from_dir(str(out / "vocabulary"))
+    schema = wechat_schema(vocabs.sizes())
+    data = pipeline.load_dataset(str(out / "tfrecord" / "train.tfrecord"),
+                                 schema, vocabs)
+    assert data.num_examples == len(pd.read_csv(train_csv))
+
+    # a second full run is a no-op for every artifact
+    m_tf = os.path.getmtime(out / "tfrecord" / "train.tfrecord")
+    etl.run()
+    assert os.path.getmtime(out / "tfrecord" / "train.tfrecord") == m_tf
