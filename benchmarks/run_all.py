@@ -94,6 +94,29 @@ def main():
         print(json.dumps(r))
         rows.append(r)
 
+    # self-describing artifacts (VERDICT r3 weak #7): date + the code config
+    # that produced the numbers, so stale tables are visible at a glance
+    import datetime
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    stamp = {
+        "date": datetime.date.today().isoformat(),
+        "commit": commit,
+        "jax": jax.__version__,
+        "config": "slope-timed train step (utils/benchmarking.py); "
+                  "compact_grad_scatter=on, scoped_vmem=64MiB, rng=rbg, "
+                  "fused attention on TPU for DIN/BST/AutoInt (auto), "
+                  "adam, synthetic WeChat stream (full vocab sizes)",
+    }
+
     out_dir = os.path.dirname(os.path.abspath(__file__))
     results_json = os.path.join(out_dir, "RESULTS.json")
     if args.models and os.path.exists(results_json):
@@ -104,9 +127,11 @@ def main():
         rows = [old[k] for k in sorted(old)]
     with open(results_json, "w") as f:
         json.dump({"platform": platform, "batch_size": args.batch_size,
-                   "results": rows}, f, indent=2)
+                   **stamp, "results": rows}, f, indent=2)
     with open(os.path.join(out_dir, "RESULTS.md"), "w") as f:
         f.write(f"# Train-step throughput ({platform}, batch {args.batch_size})\n\n")
+        f.write(f"Measured {stamp['date']} at commit `{stamp['commit']}` "
+                f"(jax {stamp['jax']}).  {stamp['config']}.\n\n")
         f.write("| model | examples/s | step (us) | compile (s) |\n|---|---|---|---|\n")
         for r in rows:
             if "error" in r:

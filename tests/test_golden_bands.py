@@ -19,12 +19,18 @@ with open(_GOLDEN_PATH) as f:
 @pytest.mark.parametrize("name", sorted(GOLDENS))
 def test_golden_band(name, tmp_path):
     aucs = G.run_golden(name, str(tmp_path))
-    golden = GOLDENS[name]
+    entry = GOLDENS[name]
+    golden, bands = entry["auc"], entry["band"]
     assert set(aucs) == set(golden), (set(aucs), set(golden))
     for task, want in golden.items():
         got = aucs[task]
-        assert abs(got - want) <= G.BAND, (
+        band = bands.get(task, G.BAND)  # measured 3-sigma band per model
+        assert abs(got - want) <= band, (
             f"{name}.{task}: AUC {got:.5f} left its golden band "
-            f"{want:.5f} +/- {G.BAND} — model math regressed (or the change "
-            "was deliberate: regenerate with tools/gen_golden_bands.py)"
+            f"{want:.5f} +/- {band} (3-sigma over {entry.get('seeds')} "
+            "seeds) — model math regressed (or the change was deliberate: "
+            "regenerate with tools/gen_golden_bands.py)"
         )
+        # the band's lower edge must always distinguish a live model from a
+        # collapsed one — regression guard on the generator's invariant
+        assert want - band >= G.MIN_EDGE, (name, task, want, band)

@@ -30,6 +30,11 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--models", default=None)
+    p.add_argument("--variance_seeds", type=int, default=5,
+                   help="rerun each model over N seeds (data stream, init "
+                        "and planted signal all vary) and set its band to "
+                        "clamp(3*sigma, 0.01, BAND_MAX) — a band justified "
+                        "by measured variance, not a global guess")
     args = p.parse_args()
     names = (args.models.split(",") if args.models
              else sorted(set(MODEL_REGISTRY) - G.SKIP))
@@ -41,19 +46,39 @@ def main():
         with open(path) as f:
             goldens = json.load(f)
 
+    # seed list: the canonical SEED first (its run IS the golden), then
+    # variance-only reruns
+    seeds = [G.SEED] + [101 + i for i in range(max(args.variance_seeds, 1) - 1)]
+
+    import statistics
+
     for name in names:
         t0 = time.time()
-        with tempfile.TemporaryDirectory() as tmp:
-            aucs = G.run_golden(name, tmp)
-        goldens[name] = {k: round(v, 5) for k, v in sorted(aucs.items())}
-        print(f"{name}: {goldens[name]} ({time.time()-t0:.0f}s)", flush=True)
-        for task, v in goldens[name].items():
-            # a band whose lower edge sits at ~0.5 cannot distinguish a
+        per_seed: list[dict[str, float]] = []
+        for s in seeds:
+            with tempfile.TemporaryDirectory() as tmp:
+                per_seed.append(G.run_golden(name, tmp, seed=s))
+        golden = {k: round(v, 5) for k, v in sorted(per_seed[0].items())}
+        sigma = {
+            k: (round(statistics.stdev(r[k] for r in per_seed), 5)
+                if len(per_seed) > 1 else 0.0)
+            for k in golden
+        }
+        band = {
+            k: round(min(max(3 * sigma[k], 0.01), G.BAND_MAX), 5)
+            for k in golden
+        }
+        goldens[name] = {"auc": golden, "band": band, "sigma": sigma,
+                         "seeds": len(seeds)}
+        print(f"{name}: auc={golden} sigma={sigma} band={band} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        for task, v in golden.items():
+            # a band whose lower edge sits near 0.5 cannot distinguish a
             # dead (sigmoid-of-noise) model from a healthy one — refuse to
             # write it; raise steps / tune LR in golden_common.PER_MODEL
-            assert v - G.BAND >= 0.55, (
-                f"{name}.{task}: golden {v:.5f} - band {G.BAND} < 0.55 — "
-                "this band would accept a collapsed model (AUC 0.5). "
+            assert v - band[task] >= G.MIN_EDGE, (
+                f"{name}.{task}: golden {v:.5f} - band {band[task]} < "
+                f"{G.MIN_EDGE} — this band could accept a collapsed model. "
                 "Tune PER_MODEL in tests/golden_common.py first."
             )
 
