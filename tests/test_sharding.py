@@ -322,3 +322,39 @@ def test_checkpoint_roundtrip_on_mesh(tmp_path):
     cont, loss = trainer2._train_jit(
         restored, trainer2._put_batch(gen.batch(32, 5)), sub)
     assert np.isfinite(float(loss))
+
+
+def test_predict_collect_on_mesh_preserves_rows(tmp_path):
+    """Trainer.predict(collect=...) on a mesh: padded eval batches go in,
+    every real row comes back exactly once with row-aligned metadata — the
+    in-process twin of the 2-process CLI eval/predict regression
+    (tests/test_multihost_cli.py)."""
+    from recalgorithm_tpu.data import pipeline
+
+    mesh = mesh_lib.make_mesh(num_model=1)
+    trainer, gen = _trainer(mesh, str(tmp_path))
+    state = trainer.init_state(gen.batch(32, 0))
+
+    # a 3-batch eval pass with a padded tail: 77 real rows, batch 32
+    n = 77
+    big = gen.batch(128, 7)
+    data = pipeline.DatasetArrays(
+        dense=big["dense"][:n],
+        categorical={k: big[k][:n] for k in
+                     ("userid", "feedid", "device", "authorid",
+                      "bgm_song_id", "bgm_singer_id")},
+        sequences={k: (big[k][:n], big[k + "_len"][:n]) for k in
+                   ("his_read_comment_7d_seq", "manual_tag_list")},
+        labels=big["labels"][:n],
+    )
+    probs, collected = trainer.predict(
+        state, pipeline.eval_batches(data, 32, index_offset=0),
+        collect=("labels", "_index", "userid"),
+    )
+    assert len(probs["read_comment"]) == n
+    order = np.argsort(collected["_index"])
+    np.testing.assert_array_equal(collected["_index"][order], np.arange(n))
+    np.testing.assert_allclose(
+        collected["labels"][order], big["labels"][:n], rtol=1e-6)
+    np.testing.assert_array_equal(
+        collected["userid"][order].astype(np.int32), big["userid"][:n])
