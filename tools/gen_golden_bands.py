@@ -31,10 +31,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", default=None)
     p.add_argument("--variance_seeds", type=int, default=5,
-                   help="rerun each model over N seeds (data stream, init "
-                        "and planted signal all vary) and set its band to "
-                        "clamp(3*sigma, 0.01, BAND_MAX) — a band justified "
-                        "by measured variance, not a global guess")
+                   help="rerun each model over N TRAINER seeds (param init "
+                        "+ dropout vary; the data distribution stays fixed) "
+                        "and set its band to clamp(3*sigma, 0.01, BAND_MAX) "
+                        "— a band justified by measured rerun variance, not "
+                        "a global guess")
     args = p.parse_args()
     names = (args.models.split(",") if args.models
              else sorted(set(MODEL_REGISTRY) - G.SKIP))
