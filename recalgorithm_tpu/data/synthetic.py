@@ -46,8 +46,14 @@ class SyntheticWeChat:
         self._dense_w = rng.normal(size=(n_dense,)) * np.where(
             np.arange(n_dense) < 4, 1.0, 0.1
         )
-        self._user_bias = rng.normal(size=(self._sizes["userid"] + 1,)) * 0.8
-        self._feed_bias = rng.normal(size=(self._sizes["feedid"] + 1,)) * 0.8
+        # id-signal strength 1.3 (round 4, was 0.8): the FM-family models see
+        # ONLY the categorical ids (reference parity), and at 0.8 their
+        # attainable AUC plateaued at 0.57-0.60 — too close to the golden
+        # bands' 0.57 collapsed-model bar to leave a usable band.  The real
+        # WeChat data is strongly id-driven (FFM alone reaches 0.89 there),
+        # so a stronger planted id signal is the more faithful synthetic.
+        self._user_bias = rng.normal(size=(self._sizes["userid"] + 1,)) * 1.3
+        self._feed_bias = rng.normal(size=(self._sizes["feedid"] + 1,)) * 1.3
         self._label_w = rng.normal(size=(len(schema.labels),)) * 0.5 + 1.0
 
     def vocab_sizes(self) -> dict[str, int]:
