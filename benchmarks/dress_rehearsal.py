@@ -187,6 +187,16 @@ def write_report(out: dict, bench_dir: str) -> None:
             f"parse; host pipeline serves a shuffled epoch at "
             f"{r['epoch_serve_rows_per_s']:,.0f} rows/s"
         )
+    if out.get("platform") in ("tpu", "axon"):
+        lines.append(
+            "- feed-margin note: on this image the chip is reached over a "
+            "terminal tunnel, so the per-step host->device batch transfer "
+            "(~tunnel RTT per b1024 step) dominates the training wall times "
+            "below — the chip itself consumes ~600k ex/s at b1024 "
+            "(BENCH_r03) and the 1-core host pipeline serves ~110k rows/s; "
+            "on directly-attached hardware the run is host-pipeline-bound "
+            "(size feeder hosts at ~110k rows/s/core)."
+        )
     for m, t in out.get("train", {}).items():
         metrics = ", ".join(
             f"{k} {v}" for k, v in sorted(t.items())
