@@ -93,6 +93,32 @@ def agreed_flag(flag: bool) -> bool:
     )
 
 
+def agreed_all(flags, window: int | None = None, reduce_fn=None) -> "np.ndarray":
+    """Elementwise AND of per-batch booleans across processes (one collective).
+
+    The compact-scatter executable dispatch (train/loop.py) is a host-side
+    per-batch decision; in a multi-process run every host must pick the SAME
+    executable or the job deadlocks inside collectives.  Each host passes its
+    local window of fits-flags; the return is the global AND per position.
+    ``window`` pads short final windows with True so the allgather shape
+    stays static; ``reduce_fn`` is injectable for tests.  Single-process:
+    passthrough."""
+    arr = np.asarray(flags, np.int32)
+    n = len(arr)
+    if window is not None and n < window:
+        arr = np.concatenate([arr, np.ones(window - n, np.int32)])
+    if reduce_fn is None:
+        if jax.process_count() == 1:
+            return arr.astype(bool)[:n]
+
+        def reduce_fn(a):
+            from jax.experimental import multihost_utils
+
+            return np.min(multihost_utils.process_allgather(a), axis=0)
+
+    return np.asarray(reduce_fn(arr)).astype(bool)[:n]
+
+
 def aligned_iterator(it, make_pad, reduce_max=None, window: int = 8):
     """Lock-step eval coordination that PADS short hosts instead of dropping.
 

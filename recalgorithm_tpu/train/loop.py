@@ -317,17 +317,16 @@ class Trainer:
 
     @property
     def _use_compact(self) -> bool:
-        """Compact-scatter engages single-process only: in a multi-process
-        SPMD run every host must execute the SAME program, but the
-        host-side density dispatch (batch_fits_compact) sees only the
-        local batch shard, so hosts could disagree on which executable to
-        run — a program mismatch inside collectives.  Under a
-        single-process mesh the partitioner shards the compact
-        bookkeeping (cumsum / searchsorted / gathers) like any other op;
-        the shard_map lookup exchange, when enabled, takes precedence on
-        the lookups it handles."""
-        return (self.config.compact_grad_scatter
-                and (self.mesh is None or jax.process_count() == 1))
+        """Whether the compact-scatter executable pair is in play.  Under a
+        mesh the SPMD partitioner shards the compact bookkeeping (cumsum /
+        searchsorted / gathers) like any other op; the shard_map lookup
+        exchange, when enabled, takes precedence on the lookups it handles.
+        Multi-process runs dispatch through ``_dispatch_steps``'s windowed
+        collective agreement (every host must pick the SAME executable —
+        a host-local batch_fits_compact decision could diverge and deadlock
+        the job inside collectives; round 4 replaced the old
+        disable-when-multiprocess gate with that agreement)."""
+        return self.config.compact_grad_scatter
 
     @property
     def train_step_fn(self):
@@ -387,13 +386,51 @@ class Trainer:
         """Pick the executable for this batch: the compact-scatter step, or
         the plain-scatter variant when the batch's live sequence entries
         overflow the compact buffer (host-side check on the *_len columns
-        — no in-graph data-dependent branch)."""
+        — no in-graph data-dependent branch).  SINGLE-PROCESS dispatch;
+        multi-process runs go through ``_dispatch_steps``."""
         if self._use_compact:
             from recalgorithm_tpu.ops.compact_scatter import batch_fits_compact
 
             if not batch_fits_compact(host_batch, self.model.schema):
                 return self._train_jit_plain
         return self._train_jit
+
+    def _dispatch_steps(self, batches, window: int = 8):
+        """Yield (host_batch, step_fn) with a globally-consistent executable
+        choice.
+
+        Single-process: the per-batch host check.  Multi-process: hosts see
+        only their local batch shard, so a host-local fits decision could
+        pick DIFFERENT executables on different hosts — a program mismatch
+        inside collectives that deadlocks the job.  Batches are buffered in
+        windows of ``window``; each window's per-batch fits flags are
+        AND-reduced across processes in ONE collective
+        (multihost.agreed_all), amortising the DCN round trip to 1/window
+        steps.  Requires equal per-host batch counts — the same contract
+        every collective in the train step already imposes (cli/main.py's
+        synchronized_iterator provides it)."""
+        self._compile()
+        it = iter(batches)
+        if not self._use_compact or jax.process_count() == 1:
+            for hb in it:
+                yield hb, self._train_step_for(hb)
+            return
+
+        import itertools
+
+        from recalgorithm_tpu.ops.compact_scatter import batch_fits_compact
+        from recalgorithm_tpu.parallel import multihost
+
+        while True:
+            buf = list(itertools.islice(it, window))
+            if not buf:
+                return
+            local = [batch_fits_compact(hb, self.model.schema) for hb in buf]
+            fits = multihost.agreed_all(local, window=window)
+            for hb, ok in zip(buf, fits):
+                yield hb, (self._train_jit if ok else self._train_jit_plain)
+            if len(buf) < window:
+                return
 
     def _put_batch(self, batch: Mapping[str, np.ndarray]):
         batch = dict(batch)
@@ -561,17 +598,16 @@ class Trainer:
                                      mesh=self.mesh)
         summary = SummaryWriter(os.path.join(cfg.model_dir, "summaries"))
 
-        train_iter = iter(train_batches)
+        train_iter = self._dispatch_steps(train_batches)
         if state is None:
-            first = next(train_iter)
+            first, first_fn = next(train_iter)
             state = self.init_state(first)
             state = checkpointer.restore_latest(state)
             # re-feed the first batch unless we resumed past it
             if int(state.step) == 0:
-                step_fn = self._train_step_for(first)
                 batch = self._put_batch(first)
                 rng, sub = jax.random.split(rng)
-                state, _ = step_fn(state, batch, sub)
+                state, _ = first_fn(state, batch, sub)
 
         # preemption notice (SIGTERM): finish the in-flight step, save, skip
         # the final eval — the checkpoint is the deliverable under a grace
@@ -595,10 +631,9 @@ class Trainer:
         final_eval: dict[str, float] = {}
         while int(state.step) < cfg.train_steps and not preempted["flag"]:
             try:
-                hb = next(train_iter)
+                hb, step_fn = next(train_iter)
             except StopIteration:
                 break
-            step_fn = self._train_step_for(hb)
             batch = self._put_batch(hb)
             rng, sub = jax.random.split(rng)
             state, loss = step_fn(state, batch, sub)

@@ -225,3 +225,56 @@ def test_dense_batch_dispatches_to_plain_step(tmp_path, monkeypatch):
     _, loss_off = trainer_off._train_jit(
         state_off, trainer_off._put_batch(dense_batch), key)
     assert np.isclose(float(loss), float(loss_off), rtol=1e-6)
+
+
+def test_agreed_all_reduces_elementwise():
+    """agreed_all: global AND per window position, short windows padded with
+    True so the collective shape stays static (injectable reduce)."""
+    from recalgorithm_tpu.parallel.multihost import agreed_all
+
+    other = np.array([1, 0, 1, 1, 1, 1, 1, 1], np.int32)  # simulated host 2
+    seen = {}
+
+    def reduce_fn(a):
+        seen["shape"] = a.shape
+        return np.minimum(a, other)
+
+    got = agreed_all([True, True, False], window=8, reduce_fn=reduce_fn)
+    assert seen["shape"] == (8,)  # padded to the static window
+    np.testing.assert_array_equal(got, [True, False, False])
+
+
+def test_dispatch_steps_multiprocess_agreement(tmp_path, monkeypatch):
+    """Multi-process executable dispatch: a batch another host flags as
+    dense must route to the plain step HERE too, even when the local check
+    says it fits (divergent executables deadlock inside collectives)."""
+    from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.models.din import DINConfig
+    from recalgorithm_tpu.parallel import multihost
+
+    monkeypatch.setattr(cs, "MIN_IDS", 0)
+    gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=6, vocab_scale=0.05))
+    schema = wechat_schema(gen.vocab_sizes())
+    cfg = DINConfig(batch_size=64)
+    trainer = _make_trainer(tmp_path, gen, schema, cfg, True, "mp_dispatch")
+    trainer._compile()
+
+    # pretend we are process 0 of 2 and the OTHER host flags batch 1 dense
+    import recalgorithm_tpu.train.loop as loop_mod
+
+    monkeypatch.setattr(loop_mod.jax, "process_count", lambda: 2)
+    other = np.array([1, 0, 1, 1], np.int32)
+    monkeypatch.setattr(
+        multihost, "agreed_all",
+        lambda flags, window=None, reduce_fn=None: (
+            np.minimum(np.asarray(flags, np.int32), other[: len(flags)])
+            .astype(bool)
+        ),
+    )
+    batches = [gen.batch(64, i) for i in range(4)]  # all locally sparse
+    chosen = [fn for _, fn in trainer._dispatch_steps(iter(batches), window=4)]
+    assert chosen[0] is trainer._train_jit
+    assert chosen[1] is trainer._train_jit_plain  # other host's veto
+    assert chosen[2] is trainer._train_jit
+    assert chosen[3] is trainer._train_jit

@@ -165,3 +165,101 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert int(proc0.strip().split("HLO_BYTES")[-1].split()[0]) > 10_000
     # and match a single-process 8-device run on the same stream
     np.testing.assert_allclose(losses[0], _single_process_loss(), rtol=1e-4)
+
+
+_COMPACT_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
+from recalgorithm_tpu.features.schema import wechat_schema
+from recalgorithm_tpu.models.deep_crossing import DeepCrossing, DeepCrossingConfig
+from recalgorithm_tpu.ops import compact_scatter as cs
+from recalgorithm_tpu.parallel import mesh as mesh_lib, multihost
+from recalgorithm_tpu.train import optimizers
+from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
+
+cs.MIN_IDS = 0  # tiny batches must still engage the compact machinery
+gen = SyntheticWeChat(wechat_schema(), SyntheticConfig(seed=5, vocab_scale=0.003))
+schema = wechat_schema(gen.vocab_sizes())
+cfg = DeepCrossingConfig(batch_size=32, train_steps=4)
+mesh = mesh_lib.make_mesh(num_model=1)
+
+B = 32
+def local_batch(i):
+    full = gen.batch(B, i)
+    lo, hi = multihost.host_shard_range(B)
+    local = {k: v[lo:hi] for k, v in full.items()}
+    if pid == 1 and i == 1:
+        # host 1's shard of batch 1 is DENSE (overflows the compact buffer)
+        # while host 0's stays sparse: the dispatch agreement must route
+        # BOTH hosts to the plain step or the job deadlocks
+        for f in schema.sequence:
+            t = f.max_length
+            local[f.name] = np.ones((hi - lo, t), np.int32)
+            local[f.name + "_len"] = np.full((hi - lo,), t, np.int32)
+    return local
+
+def run(compact: bool):
+    model = DeepCrossing(config=cfg, schema=schema)
+    tr = Trainer(model, cfg.task_names, optimizers.build("adam", 1e-2),
+                 TrainerConfig(model_dir=f"/tmp/mh_compact_{pid}_{compact}",
+                               save_checkpoints_steps=0,
+                               compact_grad_scatter=compact,
+                               rng_impl="threefry2x32"),
+                 mesh=mesh)
+    state = tr.init_state(gen.batch(B, 0))
+    tr._compile()
+    chosen = []
+    it = tr._dispatch_steps((local_batch(i) for i in range(4)), window=2)
+    loss = None
+    for step, (hb, fn) in enumerate(it):
+        if compact:
+            chosen.append("C" if fn is tr._train_jit else "P")
+        batch = tr._put_batch(hb)
+        state, loss = fn(state, batch, jax.random.fold_in(
+            jax.random.key(123, impl="threefry2x32"), step))
+    return float(loss), "".join(chosen)
+
+loss_c, pattern = run(True)
+loss_p, _ = run(False)
+print("PATTERN", pattern)
+print("LOSSES", loss_c, loss_p)
+assert abs(loss_c - loss_p) < 1e-5, (loss_c, loss_p)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_compact_dispatch_agreement(tmp_path):
+    """Compact scatter under multi-process: host 1 makes one batch shard
+    dense while host 0's stays sparse — the windowed collective agreement
+    must route both hosts to the plain executable for that batch (pattern
+    CPCC on BOTH), and the compact run's loss must equal the plain run's."""
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _COMPACT_WORKER, str(pid), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=900)
+        assert p.returncode == 0, stderr[-3000:]
+        outs.append(stdout)
+    patterns = [o.strip().split("PATTERN")[-1].split()[0] for o in outs]
+    assert patterns[0] == patterns[1] == "CPCC", patterns
+    losses = [
+        tuple(map(float, o.strip().split("LOSSES")[-1].split()[:2]))
+        for o in outs
+    ]
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
