@@ -56,8 +56,9 @@ def main():
     cfg = cfg_cls(**kwargs)
     model = model_cls(config=cfg, schema=schema)
     opt = optimizers.build(getattr(cfg, "optimizer", "adam"), 1e-3)
+    tasks = tuple(cfg.task_names) or (schema.labels[0],)
     trainer = Trainer(
-        model, cfg.task_names, opt,
+        model, tasks, opt,
         TrainerConfig(model_dir="/tmp/profile_probe", train_steps=1,
                       save_checkpoints_steps=0),
     )

@@ -39,8 +39,9 @@ def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
     cfg = cfg_cls(**kwargs)
     model = model_cls(config=cfg, schema=schema)
     opt = optimizers.build(getattr(cfg, "optimizer", "adam"), 1e-3)
+    tasks = tuple(cfg.task_names) or (schema.labels[0],)
     trainer = Trainer(
-        model, cfg.task_names, opt,
+        model, tasks, opt,
         TrainerConfig(model_dir=f"/tmp/bench_{name}", train_steps=steps,
                       save_checkpoints_steps=0,
                       scoped_vmem_limit_kib=getattr(

@@ -85,6 +85,13 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
     parser.add_argument(
         "--vocabulary_dir", default="../../dataset/wechat_algo_data1/vocabulary/"
     )
+    parser.add_argument(
+        "--dataset", default="wechat", choices=("wechat", "douban"),
+        help="schema family: 'wechat' (the reference dataset) or 'douban' "
+             "(the reference's abandoned second dataset, completed in "
+             "data/douban.py; train schema-driven models like GenericDNN "
+             "on its ETL artifacts)",
+    )
     parser.add_argument("--synthetic", action="store_true",
                         help="train on WeChat-shaped synthetic data")
     parser.add_argument("--synthetic_vocab_scale", type=float, default=0.01)
@@ -143,7 +150,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
     # parse --model first so model-specific flags can be registered
     import jax
 
-    from recalgorithm_tpu.features.schema import wechat_schema
+    from recalgorithm_tpu.features.schema import douban_schema, wechat_schema
     from recalgorithm_tpu.models import MODEL_REGISTRY
     from recalgorithm_tpu.parallel import mesh as mesh_lib
     from recalgorithm_tpu.train import optimizers
@@ -174,16 +181,17 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         f.name: getattr(args, f.name) for f in dataclasses.fields(cfg_cls)
     }
     cfg = cfg_cls(**cfg_kwargs)
+    schema_fn = {"wechat": wechat_schema, "douban": douban_schema}[args.dataset]
 
     # ---- data
     if args.synthetic:
         from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
 
         gen = SyntheticWeChat(
-            wechat_schema(),
+            schema_fn(),
             SyntheticConfig(seed=args.seed, vocab_scale=args.synthetic_vocab_scale),
         )
-        schema = wechat_schema(gen.vocab_sizes())
+        schema = schema_fn(gen.vocab_sizes())
         train_iter = gen.batches(cfg.batch_size, cfg.train_steps)
         eval_fn = lambda: gen.batches(cfg.batch_size, 16, start_seed=10_000_000)
         eval_labels = None
@@ -194,7 +202,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         from recalgorithm_tpu.features.vocab import VocabularyStore
 
         vocabs = VocabularyStore.from_dir(args.vocabulary_dir)
-        schema = wechat_schema(vocabs.sizes())
+        schema = schema_fn(vocabs.sizes())
         if args.stream:
             train_iter = pipeline.prefetch(
                 pipeline.stream_batches(
@@ -286,6 +294,8 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         eval_ids = {}
 
     # ---- model + trainer
+    # schema-driven models (GenericDNN) default to the schema's first label
+    task_names = tuple(cfg.task_names) or (schema.labels[0],)
     model = model_cls(config=cfg, schema=schema)
     opt_name = getattr(cfg, "optimizer", "adam")
     # dual FTRL/deep optimizer for any model exposing a wide-param split
@@ -312,7 +322,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
 
     trainer = Trainer(
         model,
-        cfg.task_names,
+        task_names,
         optimizer,
         TrainerConfig(
             model_dir=args.model_dir,
@@ -348,8 +358,9 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         # predictions.csv carries real userid/feedid strings
         # (wide_and_deep.py:370-375); vocab-remapped integers would
         # mismatch every row of any downstream join.
-        id_cols = [k for k in ("userid", "feedid")
-                   if k in schema.categorical_names]
+        # first two categorical fields are the user/item ids in every
+        # schema (userid/feedid for WeChat, USER_MD5/MOVIE_ID for Douban)
+        id_cols = list(schema.categorical_names[:2])
         probs, collected = trainer.predict(
             state, eval_fn(), collect=("labels", "_index", *id_cols)
         )
@@ -367,9 +378,11 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                 "never scored"
             )
         eval_labels = collected["labels"]
-        eval_groups = collected.get("userid")
+        eval_groups = collected.get(schema.categorical_names[0])
         for k in id_cols:
-            toks = np.asarray([""] + vocabs[k].tokens(), dtype=object)
+            toks = np.asarray(
+                [""] + vocabs[schema.vocab_of(k)].tokens(), dtype=object
+            )
             eval_ids[k] = toks[collected[k]]
 
     # Unbinned rank AUC beside the 200-bin streaming approximation: the
@@ -379,7 +392,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
         from recalgorithm_tpu.train.metrics import exact_auc, grouped_auc
 
         label_idx = {name: i for i, name in enumerate(schema.labels)}
-        for t in cfg.task_names:
+        for t in task_names:
             if t in label_idx and len(probs[t]) == len(eval_labels):
                 v = exact_auc(eval_labels[:, label_idx[t]], probs[t])
                 final_eval[f"{t}_exact_auc"] = v
@@ -405,7 +418,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
             os.makedirs(os.path.dirname(args.predictions_csv), exist_ok=True)
         with open(args.predictions_csv, "w", newline="") as f:
             writer = csv.writer(f)
-            tasks = list(cfg.task_names)
+            tasks = list(task_names)
             id_cols = sorted(eval_ids)
             header = id_cols + [f"{t}_probabilities" for t in tasks]
             if eval_labels is not None:

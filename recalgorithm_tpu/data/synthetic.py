@@ -52,8 +52,15 @@ class SyntheticWeChat:
         # bands' 0.57 collapsed-model bar to leave a usable band.  The real
         # WeChat data is strongly id-driven (FFM alone reaches 0.89 there),
         # so a stronger planted id signal is the more faithful synthetic.
-        self._user_bias = rng.normal(size=(self._sizes["userid"] + 1,)) * 1.3
-        self._feed_bias = rng.normal(size=(self._sizes["feedid"] + 1,)) * 1.3
+        # The user/item latents attach to the schema's first two categorical
+        # features (userid/feedid for WeChat) so any schema — e.g. the
+        # Douban one — gets the same planted structure.
+        self._user_key = schema.categorical[0].name
+        self._item_key = schema.categorical[1].name
+        user_v = schema.categorical[0].vocab
+        item_v = schema.categorical[1].vocab
+        self._user_bias = rng.normal(size=(self._sizes[user_v] + 1,)) * 1.3
+        self._feed_bias = rng.normal(size=(self._sizes[item_v] + 1,)) * 1.3
         self._label_w = rng.normal(size=(len(schema.labels),)) * 0.5 + 1.0
 
     def vocab_sizes(self) -> dict[str, int]:
@@ -84,8 +91,8 @@ class SyntheticWeChat:
             out[f.name + "_len"] = lengths
         logit = (
             out["dense"] @ self._dense_w
-            + self._user_bias[out["userid"]]
-            + self._feed_bias[out["feedid"]]
+            + self._user_bias[out[self._user_key]]
+            + self._feed_bias[out[self._item_key]]
             - 2.5
         )
         p = 1.0 / (1.0 + np.exp(-logit[:, None] * self._label_w[None, :]))

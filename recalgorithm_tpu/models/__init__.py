@@ -26,6 +26,7 @@ from recalgorithm_tpu.models import (  # noqa: F401
     final_mlp,
     fwfm,
     gdcn,
+    generic_dnn,
     masknet,
     mmoe,
     nfm,

@@ -26,7 +26,7 @@ def _train(name, tmp_path, steps=80, batch=128, opt=None, **cfg_kw):
     cfg = cfg_cls(batch_size=batch, **kw)
     model = model_cls(config=cfg, schema=schema)
     trainer = Trainer(
-        model, cfg.task_names,
+        model, tuple(cfg.task_names) or (schema.labels[0],),
         opt or optimizers.build("adam", 0.005),
         TrainerConfig(model_dir=str(tmp_path), train_steps=steps, log_every=100,
                       save_checkpoints_steps=0),
