@@ -14,7 +14,6 @@ import argparse
 import datetime
 import json
 import os
-import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -40,14 +39,9 @@ def main():
             rows[b][m] = r
             print(json.dumps({"batch": b, **r}), flush=True)
 
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
-            text=True, timeout=10,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout.strip()
-    except Exception:
-        commit = "unknown"
+    from benchmarks.provenance import git_commit
+
+    commit = git_commit()
     platform = jax.devices()[0].platform
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BATCH_SCALING.md")

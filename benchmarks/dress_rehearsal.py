@@ -30,7 +30,6 @@ import argparse
 import datetime
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -161,6 +160,8 @@ def write_report(out: dict, bench_dir: str) -> None:
         "",
         f"Run {out['date']} at commit `{out['commit']}` on "
         f"{out['platform']}; scale {out['scale']} "
+        "(phases re-run at different commits carry their own 'commit' "
+        "stamps in REHEARSAL.json) "
         f"(reference: 3.32M train / 609k test rows).  Raw CSVs from "
         "data/synth_raw.py (planted user-activity x feed-quality signal) "
         "through the REAL path: data/etl.py -> native reader -> cli.main "
@@ -231,32 +232,38 @@ def main():
     if os.path.exists(state_path):
         with open(state_path) as f:
             out = json.load(f)
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
-            text=True, timeout=10, cwd=bench_dir,
-        ).stdout.strip()
-    except Exception:
-        commit = "unknown"
+    from benchmarks.provenance import git_commit
+
+    commit = git_commit()
     import jax
 
     out.update(date=datetime.date.today().isoformat(), commit=commit,
                scale=args.scale, train_steps=args.train_steps,
                platform=jax.devices()[0].platform)
 
+    # each phase carries its own measured-at stamp: REHEARSAL.json doubles
+    # as resume state, so a later partial re-run at a newer commit must not
+    # relabel older phases' numbers (round-4 review finding)
+    from benchmarks.provenance import stamp as phase_stamp
+
     phases = args.phases.split(",")
     if "csvs" in phases:
         phase_csvs(args.work_dir, args.scale, out)
+        out["csv_gen"].update(phase_stamp())
         write_report(out, bench_dir)
     if "etl" in phases:
         phase_etl(args.work_dir, out)
+        out["etl"].update(phase_stamp())
         write_report(out, bench_dir)
     if "reader" in phases:
         phase_reader(args.work_dir, out)
+        out["reader"].update(phase_stamp())
         write_report(out, bench_dir)
     if "train" in phases:
         phase_train(args.work_dir, args.models.split(","),
                     args.train_steps, out)
+        for m in out.get("train", {}).values():
+            m.setdefault("commit", phase_stamp()["commit"])
         write_report(out, bench_dir)
     print(json.dumps(out))
 

@@ -97,20 +97,10 @@ def main():
 
     # self-describing artifacts (VERDICT r3 weak #7): date + the code config
     # that produced the numbers, so stale tables are visible at a glance
-    import datetime
-    import subprocess
+    from benchmarks.provenance import stamp as _stamp
 
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout.strip()
-    except Exception:
-        commit = "unknown"
     stamp = {
-        "date": datetime.date.today().isoformat(),
-        "commit": commit,
+        **_stamp(),
         "jax": jax.__version__,
         "config": "slope-timed train step (utils/benchmarking.py); "
                   "compact_grad_scatter=on, scoped_vmem=64MiB, rng=rbg, "

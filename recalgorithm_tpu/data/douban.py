@@ -100,10 +100,13 @@ class DoubanETL:
         movies = pd.read_csv(os.path.join(self.dataset_dir, "movies.csv"))
         ratings["RATING_TIME"] = pd.to_datetime(ratings["RATING_TIME"])
         # YEAR == 0 is an outlier and must not reach the vocabulary
-        # (DataGenerator.py:56)
-        movies["YEAR"] = movies["YEAR"].map(
-            lambda x: np.nan if (pd.isnull(x) or int(x) == 0)
-            else str(np.int16(x))
+        # (DataGenerator.py:56); scraped YEAR cells can be junk strings
+        # ('2019(中国大陆)', '未知') — coerce those to NaN too, matching the
+        # outlier exclusion rather than crashing the whole ETL on one cell
+        year = pd.to_numeric(movies["YEAR"], errors="coerce")
+        movies["YEAR"] = np.where(
+            year.isna() | (year == 0), np.nan,
+            year.fillna(0).astype(np.int64).astype(str),
         )
         return ratings, movies
 
@@ -137,7 +140,15 @@ class DoubanETL:
         Vectorised per USER (numpy searchsorted windows over the user's
         time-sorted rating arrays) instead of the reference's per-ROW
         iterrows loops (its own comments flag them as OOM-prone,
-        DataGenerator.py:101,116)."""
+        DataGenerator.py:101,116).  Cached as features/samples.pkl behind a
+        FEATURE_FILE_ALREADY sentinel — this is the ETL's most expensive
+        stage, and a crash in a later stage must resume with an unpickle,
+        not a recompute (same contract as WeChatETL._generate_features)."""
+        features_dir = os.path.join(self.out_path, "features")
+        os.makedirs(features_dir, exist_ok=True)
+        cache = os.path.join(features_dir, "samples.pkl")
+        if self._done(features_dir, "FEATURE_FILE_ALREADY"):
+            return pd.read_pickle(cache)
         data = ratings[ratings["RATING_TIME"] >= "2018-01-01"].copy()
         data = pd.merge(data, movies, how="left", on="MOVIE_ID")
         data["DIRECTOR_ID"] = data["DIRECTOR_IDS"].map(
@@ -160,8 +171,11 @@ class DoubanETL:
         sample_arr = is_sample.to_numpy()
 
         pos = 0
-        for _, g in data.groupby("USER_MD5", sort=False):
-            m = len(g)
+        # group sizes without materialising per-user sub-DataFrames: data is
+        # already sorted by (USER_MD5, RATING_TIME)
+        sizes = data.groupby("USER_MD5", sort=False).size().to_numpy()
+        for m in sizes:
+            m = int(m)
             sl = slice(pos, pos + m)
             d = days_arr[sl]
             r = ratings_arr[sl]
@@ -204,6 +218,8 @@ class DoubanETL:
                     str(s).split(sep)[:k] if not pd.isnull(s) else []
                 )
             )
+        out.to_pickle(cache)
+        self._mark(features_dir, "FEATURE_FILE_ALREADY")
         return out
 
     def _generate_dataframe(self, pd, samples):
@@ -229,23 +245,30 @@ class DoubanETL:
             return
         out_path = os.path.join(self.tfrecord_dir, fname)
         enc = lambda v: str(v).encode() if not _isnull(v) else b""
-        try:  # native parallel writer (generic column lists)
+        try:  # native parallel writer (generic column lists), marshalled in
+            # 200k-row chunks so peak RAM is one chunk's byte encodings, not
+            # the whole split's (same bound as WeChatETL's writer — this
+            # module exists because the reference's version was OOM-prone)
             from recalgorithm_tpu.runtime import loader
 
-            seq_cols = [
-                [[t.encode() for t in row] if isinstance(row, list) else []
-                 for row in df[f].tolist()]
-                for f, *_ in SEQS
-            ]
-            loader.write_sequence_examples(
-                out_path,
-                list(DOUBAN_DENSE_NAMES),
-                df[list(DOUBAN_DENSE_NAMES)].to_numpy(np.float32),
-                CATS, [[enc(v) for v in df[c].tolist()] for c in CATS],
-                ["rating_ge_4"],
-                df[["rating_ge_4"]].to_numpy(np.float32),
-                [f for f, *_ in SEQS], seq_cols,
-            )
+            chunk_rows = 200_000
+            for start in range(0, max(len(df), 1), chunk_rows):
+                part = df.iloc[start:start + chunk_rows]
+                seq_cols = [
+                    [[t.encode() for t in row] if isinstance(row, list)
+                     else [] for row in part[f].tolist()]
+                    for f, *_ in SEQS
+                ]
+                loader.write_sequence_examples(
+                    out_path,
+                    list(DOUBAN_DENSE_NAMES),
+                    part[list(DOUBAN_DENSE_NAMES)].to_numpy(np.float32),
+                    CATS, [[enc(v) for v in part[c].tolist()] for c in CATS],
+                    ["rating_ge_4"],
+                    part[["rating_ge_4"]].to_numpy(np.float32),
+                    [f for f, *_ in SEQS], seq_cols,
+                    append=start > 0,
+                )
         except Exception as exc:  # no compiler -> Python twin, loudly
             import sys
 

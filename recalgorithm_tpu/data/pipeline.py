@@ -323,7 +323,6 @@ def stream_eval_batches(
     independent of split size.  Hosts may yield different batch counts; wrap
     with ``parallel.multihost.aligned_iterator`` to pad them into lock-step.
     """
-    steps = 0
     offset = -1  # byte offset carried between native reads
     c = 0        # this host's chunk counter
     taken = 0
@@ -365,9 +364,7 @@ def stream_eval_batches(
         flat["_index"] = global_start + np.arange(
             data.num_examples, dtype=np.int32
         )
-        for batch in slices(flat):
-            yield batch
-            steps += 1
+        yield from slices(flat)
         if data.num_examples < want:
             break
         c += 1

@@ -25,9 +25,11 @@ def test_golden_band(name, tmp_path):
     for task, want in golden.items():
         got = aucs[task]
         band = bands.get(task, G.BAND)  # measured 3-sigma band per model
+        sigma = entry.get("sigma", {}).get(task)
         assert abs(got - want) <= band, (
             f"{name}.{task}: AUC {got:.5f} left its golden band "
-            f"{want:.5f} +/- {band} (3-sigma over {entry.get('seeds')} "
+            f"{want:.5f} +/- {band} (clamp(3*sigma, 0.01, {G.BAND_MAX}) "
+            f"with measured sigma={sigma} over {entry.get('seeds')} trainer "
             "seeds) — model math regressed (or the change was deliberate: "
             "regenerate with tools/gen_golden_bands.py)"
         )
