@@ -153,3 +153,31 @@ def test_douban_cli_training(raw_douban, tmp_path_factory):
     for r in rows[:50]:
         assert r["USER_MD5"] in known_users
         assert 0.0 <= float(r["rating_ge_4_probabilities"]) <= 1.0
+
+
+def test_douban_etl_resumes_from_feature_cache(raw_douban):
+    """Crash after the features stage resumes with an unpickle, not a
+    recompute (features/samples.pkl behind FEATURE_FILE_ALREADY)."""
+    import os
+    import time as _t
+
+    out = raw_douban
+    etl = DoubanETL(str(out) + "/", str(out) + "/")
+    import pandas as pd_mod
+
+    ratings, movies = etl._load(pd_mod)
+    etl._generate_vocabulary(pd_mod, ratings, movies)
+    etl._generate_features(pd_mod, ratings, movies)  # then "crash"
+    cache = out / "features" / "samples.pkl"
+    assert cache.exists()
+    m_cache = os.path.getmtime(cache)
+    _t.sleep(0.05)
+
+    etl.run()  # resume completes the remaining stages
+    assert (out / "tfrecord" / "TFRECORD_train_ALREADY").exists()
+    assert os.path.getmtime(cache) == m_cache, "features were recomputed"
+
+    # idempotent second run: artifacts untouched
+    m_tf = os.path.getmtime(out / "tfrecord" / "train.tfrecord")
+    etl.run()
+    assert os.path.getmtime(out / "tfrecord" / "train.tfrecord") == m_tf
