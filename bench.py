@@ -41,8 +41,14 @@ def _cpu_baseline_examples_per_s() -> float:
 TF1_CPU_BASELINE_EXAMPLES_PER_S = _cpu_baseline_examples_per_s()
 
 
-def _throughput(batch_size: int) -> float:
-    """DIN steady-state train throughput (examples/s/chip) at batch_size."""
+def _throughput(batch_size: int, time_budget_s: float | None = None) -> dict:
+    """DIN steady-state train throughput stats (examples/s/chip) at batch_size.
+
+    Variance protocol (round 5): median ± σ over up to 5 INDEPENDENT
+    fresh-compile slope measurements (utils/benchmarking.loop_step_time_stats)
+    — one slope number cannot distinguish a real regression from run-to-run
+    spread (round-4 artifacts disagreed by ~3% with no error bars).
+    """
     import jax
 
     from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
@@ -50,7 +56,7 @@ def _throughput(batch_size: int) -> float:
     from recalgorithm_tpu.models.din import DIN, DINConfig
     from recalgorithm_tpu.train import optimizers
     from recalgorithm_tpu.train.loop import Trainer, TrainerConfig
-    from recalgorithm_tpu.utils.benchmarking import loop_step_time_us
+    from recalgorithm_tpu.utils.benchmarking import loop_step_time_stats
 
     n_chips = len(jax.devices())
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -71,28 +77,42 @@ def _throughput(batch_size: int) -> float:
     state = trainer.init_state(batch)
     device_batch = trainer._put_batch(batch)
     k_big = 72 if on_tpu else 24  # CPU fallback keeps the bench under a minute
-    step_us = loop_step_time_us(
-        trainer.train_step_fn, state, device_batch, k_small=8, k_big=k_big,
-        compiler_options=trainer.compiler_options
+    stats = loop_step_time_stats(
+        trainer.train_step_fn, state, device_batch,
+        reps=5 if on_tpu else 2, time_budget_s=time_budget_s,
+        k_small=8, k_big=k_big, compiler_options=trainer.compiler_options,
     )
-    return batch_size / step_us * 1e6 / n_chips
+    to_eps = lambda us: batch_size / us * 1e6 / n_chips
+    return {
+        "examples_per_s": to_eps(stats["median_us"]),
+        # σ propagated through the reciprocal at first order
+        "sigma": to_eps(stats["median_us"])
+                 * stats["sigma_us"] / stats["median_us"],
+        "reps_examples_per_s": [round(to_eps(u), 1) for u in stats["reps_us"]],
+    }
 
 
 def run_bench(batch_size: int = 4096) -> dict:
-    per_chip = _throughput(batch_size)
+    # budgets keep the full run well inside the 1200s watchdog even if a
+    # rep straggles (budget is checked between reps, >=2 reps always run)
+    s = _throughput(batch_size, time_budget_s=450.0)
+    per_chip = s["examples_per_s"]
     # like-for-like vs the measured CPU baseline: the baseline trains at the
     # reference batch 1024, so report a b1024 TPU number alongside —
     # vs_baseline_b1024 is the apples-to-apples multiple, the headline b4096
     # value is the throughput number (see benchmarks/BATCH_SCALING.md)
-    per_chip_b1024 = per_chip if batch_size == 1024 else _throughput(1024)
+    s1024 = s if batch_size == 1024 else _throughput(1024, time_budget_s=180.0)
     return {
         "metric": f"DIN_train_examples_per_s_per_chip_b{batch_size}",
         "value": round(per_chip, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(per_chip / TF1_CPU_BASELINE_EXAMPLES_PER_S, 2),
-        "value_b1024": round(per_chip_b1024, 1),
+        "sigma": round(s["sigma"], 1),
+        "reps": s["reps_examples_per_s"],
+        "value_b1024": round(s1024["examples_per_s"], 1),
+        "sigma_b1024": round(s1024["sigma"], 1),
         "vs_baseline_b1024": round(
-            per_chip_b1024 / TF1_CPU_BASELINE_EXAMPLES_PER_S, 2
+            s1024["examples_per_s"] / TF1_CPU_BASELINE_EXAMPLES_PER_S, 2
         ),
     }
 

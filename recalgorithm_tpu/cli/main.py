@@ -28,10 +28,14 @@ import numpy as np
 
 
 def _add_dataclass_flags(parser: argparse.ArgumentParser, cfg_cls) -> None:
+    # `from __future__ import annotations` makes every field type a string;
+    # get_type_hints resolves them in the dataclass's OWN module namespace
+    # (a bare eval here would break on any type not imported into this one).
+    hints = typing.get_type_hints(cfg_cls)
     for f in dataclasses.fields(cfg_cls):
         name = "--" + f.name
         default = f.default
-        ftype = f.type if not isinstance(f.type, str) else eval(f.type)  # noqa: S307
+        ftype = hints.get(f.name, str)
         origin = typing.get_origin(ftype)
         if ftype is bool:
             parser.add_argument(
@@ -96,7 +100,12 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
                         help="train on WeChat-shaped synthetic data")
     parser.add_argument("--synthetic_vocab_scale", type=float, default=0.01)
     parser.add_argument("--limit_examples", type=int, default=None,
-                        help="cap examples read from TFRecords (debug)")
+                        help="cap examples read from TFRecords (debug). "
+                             "Whole-load mode applies the cap GLOBALLY "
+                             "(before host sharding); --stream mode applies "
+                             "it PER HOST (strided chunk ownership means no "
+                             "host sees a contiguous global prefix), so "
+                             "nproc hosts score up to nproc*limit rows")
     parser.add_argument("--stream", action="store_true",
                         help="bounded-memory streaming input for BOTH splits "
                              "(chunked native reads; train adds a "

@@ -317,6 +317,8 @@ class WeChatETL:
         # native writer first (runtime/cc/tfrecord_writer.cc): byte-identical
         # output, rows proto-encoded in parallel — the reference's row-by-row
         # Python writer is its ETL's slowest stage (DataGenerator.py:390-447)
+        prior_size = (os.path.getsize(out_path)
+                      if append and os.path.exists(out_path) else 0)
         try:
             self._write_tfrecord_native(df, out_path, cats, append=append)
             return
@@ -328,6 +330,15 @@ class WeChatETL:
             print(f"native TFRecord writer unavailable "
                   f"({type(exc).__name__}: {exc}); using the pure-Python "
                   f"writer", file=sys.stderr)
+            # the native path writes in 200k-row chunks: a MID-write failure
+            # (disk error, not the import-time no-compiler case) may have
+            # appended partial bytes already — truncate back to the
+            # pre-attempt size so the Python retry doesn't duplicate rows
+            # after them (append=False is safe: the retry overwrites)
+            if append and os.path.exists(out_path) \
+                    and os.path.getsize(out_path) != prior_size:
+                with open(out_path, "r+b") as fh:
+                    fh.truncate(prior_size)
 
         def payloads():
             for row in df.itertuples(index=False):

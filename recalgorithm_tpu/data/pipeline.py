@@ -20,6 +20,9 @@ host-side pipeline built for TPU feeding:
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
+import os
 import queue
 import threading
 from typing import Iterator, Mapping
@@ -29,6 +32,90 @@ import numpy as np
 from recalgorithm_tpu.data import tfrecord
 from recalgorithm_tpu.features.schema import Schema
 from recalgorithm_tpu.features.vocab import VocabularyStore
+
+
+class ChunkCache:
+    """On-disk cache of vocab-translated chunk arrays for the --stream paths.
+
+    The streaming modes bound RAM by re-reading the TFRecord split in chunks
+    — but parse + vocab translation runs at ~110k rows/s/core on this image
+    while a chip consumes ~600k ex/s at b1024, so every epoch past the first
+    (and every extra eval pass) re-pays a 5x host-feed shortfall for work
+    whose result never changes.  This cache spills each chunk's TRANSLATED
+    dense arrays to ``<dir>/<identity-hash>/chunk<i>.npz`` during the first
+    pass and serves later passes with a plain np.load per chunk — whole-load
+    serve speed at one-chunk peak RAM.
+
+    Safety: chunk files are written to a temp name and os.replace()d; the
+    MANIFEST.json (which records the chunk count + the full identity dict)
+    is written only after the LAST chunk of a complete pass, so a pass that
+    dies mid-stream leaves an invalid cache and the next pass re-reads the
+    raw split.  The identity covers the source file (path/size/mtime), the
+    chunking parameters (host_index/host_count/chunk_records/limit), the
+    schema surface and the vocabulary sizes — any mismatch re-reads.
+    """
+
+    def __init__(self, cache_dir: str, identity: dict):
+        self.identity = dict(identity)
+        key = hashlib.sha256(
+            json.dumps(self.identity, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        self.dir = os.path.join(cache_dir, key)
+        self.manifest = os.path.join(self.dir, "MANIFEST.json")
+        self._written = 0
+
+    def valid(self) -> bool:
+        try:
+            with open(self.manifest) as f:
+                m = json.load(f)
+            return m.get("identity") == self.identity and all(
+                os.path.exists(self._chunk_path(i))
+                for i in range(m["num_chunks"])
+            )
+        except Exception:
+            return False
+
+    def _chunk_path(self, i: int) -> str:
+        return os.path.join(self.dir, f"chunk{i:05d}.npz")
+
+    def add(self, flat: Mapping[str, np.ndarray]) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self._chunk_path(self._written) + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, self._chunk_path(self._written))
+        self._written += 1
+
+    def finish(self) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self.manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"identity": self.identity,
+                       "num_chunks": self._written}, f)
+        os.replace(tmp, self.manifest)
+
+    def serve(self) -> Iterator[dict[str, np.ndarray]]:
+        with open(self.manifest) as f:
+            n = json.load(f)["num_chunks"]
+        for i in range(n):
+            with np.load(self._chunk_path(i), allow_pickle=False) as z:
+                yield {k: z[k] for k in z.files}
+
+
+def _stream_identity(path: str, schema: Schema, vocabs: VocabularyStore,
+                     **params) -> dict:
+    st = os.stat(path)
+    return {
+        "path": os.path.abspath(path),
+        "size": st.st_size,
+        "mtime": st.st_mtime,
+        "schema": [(f.name, getattr(f, "max_length", 0), f.vocab)
+                   for f in list(schema.categorical) + list(schema.sequence)]
+                  + [("dense", 0, d) for d in schema.dense_names]
+                  + [("label", 0, l) for l in schema.labels],
+        "vocab_sizes": dict(sorted(vocabs.sizes().items())),
+        **params,
+    }
 
 
 @dataclasses.dataclass
@@ -303,6 +390,70 @@ def zero_batch(schema: Schema, batch_size: int) -> dict[str, np.ndarray]:
     return batch
 
 
+def _translated_chunk_stream(
+    path: str,
+    schema: Schema,
+    vocabs: VocabularyStore,
+    chunk_records: int,
+    limit: int | None,
+    host_index: int,
+    host_count: int,
+    cache: ChunkCache | None,
+) -> Iterator[dict[str, np.ndarray]]:
+    """One pass of this host's strided chunk set as translated flat arrays.
+
+    The shared core of :func:`stream_batches` / :func:`stream_eval_batches`:
+    chunk ``c`` belongs to host ``c % host_count``; the native reader resumes
+    from a carried byte offset so the framing walk is one pass per epoch.
+    With a ``cache``, a COMPLETE prior pass is served straight from disk
+    (np.load per chunk — no parse, no vocab translation) and a fresh pass
+    spills each chunk as it goes, writing the manifest only at the end.
+    """
+    if cache is not None and cache.valid():
+        yield from cache.serve()
+        return
+    offset = -1  # byte offset carried between native reads
+    c = 0        # this host's chunk counter
+    taken = 0
+    while True:
+        want = chunk_records
+        if limit is not None:
+            want = min(want, limit - taken)
+            if want <= 0:
+                break
+        if offset > 0:
+            skip = (host_count - 1) * chunk_records
+        else:
+            skip = (c * host_count + host_index) * chunk_records
+        box: list = []
+        data = load_dataset(path, schema, vocabs, limit=want, skip=skip,
+                            start_offset=offset, end_offset_box=box)
+        if offset > 0 and not box:
+            # the native reader fell back to the Python parser MID-stream
+            # (I/O error, truncated tail): that parser ignores start_offset
+            # and record-skipped from the top of the file, so the rows above
+            # are the WRONG records — re-read this chunk at its absolute
+            # record position instead of silently mislabelling predictions
+            data = load_dataset(
+                path, schema, vocabs, limit=want,
+                skip=(c * host_count + host_index) * chunk_records,
+                start_offset=-1, end_offset_box=box,
+            )
+        if data.num_examples == 0:
+            break
+        taken += data.num_examples
+        flat = dict(data.as_flat())
+        if cache is not None:
+            cache.add(flat)
+        yield flat
+        if data.num_examples < want:
+            break
+        c += 1
+        offset = box[0] if box and box[0] > 0 else -1
+    if cache is not None:
+        cache.finish()
+
+
 def stream_eval_batches(
     path: str,
     schema: Schema,
@@ -312,6 +463,7 @@ def stream_eval_batches(
     limit: int | None = None,
     host_index: int = 0,
     host_count: int = 1,
+    cache_dir: str | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Bounded-RAM eval stream: chunked reads, no shuffle, global row ids.
 
@@ -322,10 +474,17 @@ def stream_eval_batches(
     sort gathered predictions back into file order.  Peak memory: one chunk,
     independent of split size.  Hosts may yield different batch counts; wrap
     with ``parallel.multihost.aligned_iterator`` to pad them into lock-step.
+
+    ``cache_dir`` spills translated chunks to disk on the first pass so
+    every later pass (throttled evals, the final eval, the predict pass)
+    serves at whole-load speed instead of re-parsing (see :class:`ChunkCache`).
     """
-    offset = -1  # byte offset carried between native reads
-    c = 0        # this host's chunk counter
-    taken = 0
+    cache = None
+    if cache_dir:
+        cache = ChunkCache(cache_dir, _stream_identity(
+            path, schema, vocabs, chunk_records=chunk_records, limit=limit,
+            host_index=host_index, host_count=host_count,
+        ))
     carry: dict[str, np.ndarray] | None = None  # partial batch across chunks
 
     def slices(flat: dict[str, np.ndarray]):
@@ -342,33 +501,14 @@ def stream_eval_batches(
         if n % batch_size:
             carry = {k: v[full * batch_size :] for k, v in flat.items()}
 
-    while True:
-        want = chunk_records
-        if limit is not None:
-            want = min(want, limit - taken)
-            if want <= 0:
-                break
-        if offset > 0:
-            skip = (host_count - 1) * chunk_records
-        else:
-            skip = (c * host_count + host_index) * chunk_records
-        box: list = []
-        data = load_dataset(path, schema, vocabs, limit=want, skip=skip,
-                            start_offset=offset, end_offset_box=box)
-        if data.num_examples == 0:
-            break
-        taken += data.num_examples
+    for c, flat in enumerate(_translated_chunk_stream(
+            path, schema, vocabs, chunk_records, limit,
+            host_index, host_count, cache)):
+        n_ex = len(flat["labels"])
         global_start = (c * host_count + host_index) * chunk_records
-        flat = dict(data.as_flat())
-        flat["_weights"] = np.ones(data.num_examples, np.float32)
-        flat["_index"] = global_start + np.arange(
-            data.num_examples, dtype=np.int32
-        )
+        flat["_weights"] = np.ones(n_ex, np.float32)
+        flat["_index"] = global_start + np.arange(n_ex, dtype=np.int32)
         yield from slices(flat)
-        if data.num_examples < want:
-            break
-        c += 1
-        offset = box[0] if box and box[0] > 0 else -1
     if carry is not None:  # pad the tail to the fixed shape
         valid = len(carry["_index"])
         out = {}
@@ -435,6 +575,15 @@ def stream_batches(
             box: list = []
             data = load_dataset(path, schema, vocabs, limit=want, skip=skip,
                                 start_offset=offset, end_offset_box=box)
+            if offset > 0 and not box:
+                # native reader fell back mid-stream: the Python parser
+                # ignores start_offset and skipped from the top — re-read
+                # at the absolute record position (see stream_eval_batches)
+                data = load_dataset(
+                    path, schema, vocabs, limit=want,
+                    skip=(c * host_count + host_index) * chunk_records,
+                    start_offset=-1, end_offset_box=box,
+                )
             if data.num_examples == 0:
                 return
             taken += data.num_examples

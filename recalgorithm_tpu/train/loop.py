@@ -111,9 +111,11 @@ class TrainerConfig:
     # on the data-dependent predicate).  Pure XLA (no Mosaic).  Composes
     # with a single-process mesh (the SPMD partitioner shards the compact
     # bookkeeping like any other op; tests/test_compact_scatter.py proves
-    # mesh-vs-single equivalence) but not with multi-process runs, where
-    # every host must pick the SAME executable while batch_fits_compact
-    # sees only its local shard (Trainer._use_compact gates this off).
+    # mesh-vs-single equivalence) AND with multi-process runs: every host
+    # must pick the SAME executable while batch_fits_compact sees only its
+    # local shard, so _dispatch_steps agrees on the choice with a windowed
+    # collective (one DCN all-reduce covering the next window of batches,
+    # amortised to 1 round trip / 8 steps; tests/test_multihost_e2e.py).
     compact_grad_scatter: bool = True
     # XLA scoped-VMEM budget for the compiled steps.  The default 16 MB
     # forces the embedding-grad scatter to stream the (106k, 16) table

@@ -79,3 +79,46 @@ def loop_step_time_us(
     t_small = timed(run_small)
     t_big = timed(run_big)
     return max(t_big - t_small, 1e-9) / (k_big - k_small) * 1e6
+
+
+def loop_step_time_stats(
+    step_fn: Callable,
+    state,
+    batch,
+    *,
+    reps: int = 5,
+    seed: int = 0,
+    time_budget_s: float | None = None,
+    **kw,
+) -> dict:
+    """Median ± σ over ``reps`` INDEPENDENT slope measurements.
+
+    Variance protocol (round-5): a single slope number hides run-to-run
+    spread — same-day artifacts disagreed by ~3% with no way to tell noise
+    from regression.  Each rep here calls :func:`loop_step_time_us` afresh:
+    the jitted K-loop closures are rebuilt from scratch (new function
+    objects -> fresh trace + XLA compile), so the spread captures
+    compile-schedule and device-state variance, not just timer jitter
+    within one cached executable.
+
+    ``time_budget_s`` stops early (keeping >=2 reps) so callers under a
+    watchdog degrade to fewer reps instead of a missing artifact.
+
+    Returns ``{"median_us", "sigma_us", "reps_us"}`` — σ is the sample
+    standard deviation over the reps actually run.
+    """
+    t0 = time.perf_counter()
+    vals: list[float] = []
+    for r in range(reps):
+        vals.append(
+            loop_step_time_us(step_fn, state, batch, seed=seed + 101 * r, **kw)
+        )
+        if (time_budget_s is not None and len(vals) >= 2
+                and time.perf_counter() - t0 > time_budget_s):
+            break
+    s = sorted(vals)
+    n = len(s)
+    median = s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    mean = sum(s) / n
+    sigma = (sum((v - mean) ** 2 for v in s) / max(n - 1, 1)) ** 0.5
+    return {"median_us": median, "sigma_us": sigma, "reps_us": vals}
