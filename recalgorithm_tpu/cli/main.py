@@ -114,6 +114,13 @@ def build_parser(model_name: str | None = None) -> argparse.ArgumentParser:
     parser.add_argument("--stream_chunk_records", type=int, default=65536,
                         help="records per chunked native read in --stream "
                              "mode (peak RAM ~ one chunk + shuffle pool)")
+    parser.add_argument("--stream_cache_dir", type=str, default=None,
+                        help="directory for the on-disk translated-chunk "
+                             "cache in --stream mode: epoch 1 spills each "
+                             "chunk's vocab-translated arrays, epochs >= 2 "
+                             "and repeat eval passes serve from disk at "
+                             "whole-load speed (still one-chunk peak RAM); "
+                             "costs ~split-size disk under this dir")
     parser.add_argument("--eval_every_steps", type=int, default=0)
     parser.add_argument(
         "--eval_throttle_secs", type=float, default=600.0,
@@ -223,6 +230,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                     limit=args.limit_examples,
                     host_index=jax.process_index(),
                     host_count=jax.process_count(),
+                    cache_dir=args.stream_cache_dir,
                 )
             )
             # strided chunk ownership can leave hosts with unequal batch
@@ -269,6 +277,7 @@ def main(argv: list[str] | None = None, model_name: str | None = None) -> dict:
                     chunk_records=args.stream_chunk_records,
                     limit=args.limit_examples,
                     host_index=jax.process_index(), host_count=nproc,
+                    cache_dir=args.stream_cache_dir,
                 )
                 if nproc > 1:
                     it = multihost.aligned_iterator(

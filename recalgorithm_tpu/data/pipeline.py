@@ -56,7 +56,9 @@ class ChunkCache:
     """
 
     def __init__(self, cache_dir: str, identity: dict):
-        self.identity = dict(identity)
+        # normalize through a JSON round-trip so tuples inside the identity
+        # (schema triples) compare equal to the lists MANIFEST.json stores
+        self.identity = json.loads(json.dumps(identity))
         key = hashlib.sha256(
             json.dumps(self.identity, sort_keys=True).encode()
         ).hexdigest()[:16]
@@ -534,6 +536,7 @@ def stream_batches(
     limit: int | None = None,
     host_index: int = 0,
     host_count: int = 1,
+    cache_dir: str | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Bounded-memory streaming batch source (the scaling seam for splits
     larger than host RAM).
@@ -550,48 +553,31 @@ def stream_batches(
     — without this every process would feed identical rows and the global
     batch would duplicate each example host_count times.  ``limit`` caps
     records read per epoch (per host, applied chunk-wise).
+
+    ``cache_dir`` spills each chunk's vocab-translated arrays to disk during
+    epoch 1 so epochs >= 2 serve at whole-load speed (np.load per chunk, no
+    parse/translate) while keeping one-chunk peak RAM — closing the 5x
+    host-feed shortfall the reference covers with tf.data's parallel parse
+    (algorithm/utils.py:23, num_parallel_calls=AUTOTUNE).  The shuffle pool
+    still re-draws fresh per epoch, so cached epochs see new batch orders.
     """
     rng = np.random.default_rng((seed, host_index))
     steps = 0
+    identity = None
+    if cache_dir:
+        identity = _stream_identity(
+            path, schema, vocabs, chunk_records=chunk_records, limit=limit,
+            host_index=host_index, host_count=host_count,
+        )
 
     def chunks():
-        taken = 0
-        # with the native reader each read resumes from the carried byte
-        # offset and record-skips only the other hosts' interleaved chunks —
-        # total framing walk is one pass over the file per epoch, not
-        # O(chunks^2); the Python-fallback loader record-skips from the top
-        offset = -1  # byte offset carried between native reads
-        c = 0        # this host's chunk counter
-        while True:
-            want = chunk_records
-            if limit is not None:
-                want = min(want, limit - taken)
-                if want <= 0:
-                    return
-            if offset > 0:
-                skip = (host_count - 1) * chunk_records
-            else:
-                skip = (c * host_count + host_index) * chunk_records
-            box: list = []
-            data = load_dataset(path, schema, vocabs, limit=want, skip=skip,
-                                start_offset=offset, end_offset_box=box)
-            if offset > 0 and not box:
-                # native reader fell back mid-stream: the Python parser
-                # ignores start_offset and skipped from the top — re-read
-                # at the absolute record position (see stream_eval_batches)
-                data = load_dataset(
-                    path, schema, vocabs, limit=want,
-                    skip=(c * host_count + host_index) * chunk_records,
-                    start_offset=-1, end_offset_box=box,
-                )
-            if data.num_examples == 0:
-                return
-            taken += data.num_examples
-            yield data.as_flat()
-            if data.num_examples < want:
-                return
-            c += 1
-            offset = box[0] if box and box[0] > 0 else -1
+        # fresh ChunkCache per pass: its chunk counter restarts at 0, so a
+        # pass abandoned mid-epoch (max_steps) leaves no manifest and the
+        # next epoch re-spills from chunk 0 over the same file names
+        cache = ChunkCache(cache_dir, identity) if identity else None
+        yield from _translated_chunk_stream(
+            path, schema, vocabs, chunk_records, limit,
+            host_index, host_count, cache)
 
     pool: dict[str, np.ndarray] | None = None
 
