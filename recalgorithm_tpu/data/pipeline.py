@@ -570,47 +570,96 @@ def stream_batches(
             host_index=host_index, host_count=host_count,
         )
 
-    def chunks():
-        # fresh ChunkCache per pass: its chunk counter restarts at 0, so a
-        # pass abandoned mid-epoch (max_steps) leaves no manifest and the
-        # next epoch re-spills from chunk 0 over the same file names
-        cache = ChunkCache(cache_dir, identity) if identity else None
-        yield from _translated_chunk_stream(
-            path, schema, vocabs, chunk_records, limit,
-            host_index, host_count, cache)
+    def rows():
+        for _ in range(num_epochs):
+            # fresh ChunkCache per pass: its chunk counter restarts at 0, so
+            # a pass abandoned mid-epoch (max_steps) leaves no manifest and
+            # the next epoch re-spills from chunk 0 over the same file names
+            cache = ChunkCache(cache_dir, identity) if identity else None
+            yield from _translated_chunk_stream(
+                path, schema, vocabs, chunk_records, limit,
+                host_index, host_count, cache)
 
-    pool: dict[str, np.ndarray] | None = None
+    # tf.data-style shuffle buffer (algorithm/utils.py:20, shuffle(10000)):
+    # a FIXED-capacity row pool; each output row is drawn from a uniformly
+    # random slot and the slot is refilled with the next incoming row.
+    # Vectorised per batch — draw batch_size distinct slots, gather, scatter
+    # the next batch_size incoming rows into them — so the per-batch cost is
+    # O(batch), not the O(pool) compaction a concat/mask pool pays (that
+    # compaction capped cached streaming at ~360k rows/s; see
+    # benchmarks/bench_pipeline.py stream_cached_pass2_serve).
+    buf: dict[str, np.ndarray] = {}
+    buf_n = 0          # filled prefix of the buffer
+    queue: list[dict[str, np.ndarray]] = []  # pending chunk slices (views)
+    queued = 0
 
-    def pool_rows() -> int:
-        return 0 if pool is None else len(next(iter(pool.values())))
+    def pop_rows(n: int) -> dict[str, np.ndarray]:
+        """Dequeue exactly n rows from the pending chunk views."""
+        nonlocal queued
+        parts, need = [], n
+        while need:
+            head = queue[0]
+            hn = len(head["labels"])
+            if hn <= need:
+                parts.append(queue.pop(0))
+                need -= hn
+            else:
+                parts.append({k: v[:need] for k, v in head.items()})
+                queue[0] = {k: v[need:] for k, v in head.items()}
+                need = 0
+        queued -= n
+        if len(parts) == 1:
+            return parts[0]
+        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
-    def draw(n: int) -> dict[str, np.ndarray]:
-        nonlocal pool
-        idx = rng.choice(pool_rows(), size=n, replace=False)
-        batch = {k: v[idx] for k, v in pool.items()}
-        keep = np.ones(pool_rows(), bool)
-        keep[idx] = False
-        pool = {k: v[keep] for k, v in pool.items()}
-        return batch
+    def fill_buffer() -> None:
+        """Top the buffer up to capacity from the pending queue."""
+        nonlocal buf_n
+        if not buf:
+            proto = queue[0]
+            for k, v in proto.items():
+                buf[k] = np.empty((shuffle_buffer_size,) + v.shape[1:],
+                                  v.dtype)
+        while buf_n < shuffle_buffer_size and queued:
+            take = min(shuffle_buffer_size - buf_n, queued)
+            rows_in = pop_rows(take)
+            for k, v in rows_in.items():
+                buf[k][buf_n:buf_n + take] = v
+            buf_n += take
 
-    for _ in range(num_epochs):
-        for flat in chunks():
-            pool = (flat if pool is None
-                    else {k: np.concatenate([pool[k], flat[k]]) for k in flat})
-            while pool_rows() >= shuffle_buffer_size + batch_size:
-                yield draw(batch_size)
-                steps += 1
-                if max_steps is not None and steps >= max_steps:
-                    return
-    # drain the pool
-    while pool is not None and pool_rows() >= batch_size:
-        yield draw(batch_size)
+    for flat in rows():
+        queue.append(flat)
+        queued += len(flat["labels"])
+        fill_buffer()
+        while buf_n == shuffle_buffer_size and queued >= batch_size:
+            idx = rng.choice(buf_n, size=batch_size, replace=False)
+            batch = {k: v[idx] for k, v in buf.items()}
+            refill = pop_rows(batch_size)
+            for k, v in refill.items():
+                buf[k][idx] = v
+            yield batch
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                return
+    # drain: permute what's left (buffer prefix + queued remainder) once
+    leftover = [{k: v[:buf_n] for k, v in buf.items()}] if buf_n else []
+    leftover += queue
+    if not leftover:
+        return
+    pool = (leftover[0] if len(leftover) == 1 else
+            {k: np.concatenate([p[k] for p in leftover]) for k in leftover[0]})
+    order = rng.permutation(len(pool["labels"]))
+    pool = {k: v[order] for k, v in pool.items()}
+    n_pool = len(order)
+    for b in range(n_pool // batch_size):
+        yield {k: v[b * batch_size:(b + 1) * batch_size]
+               for k, v in pool.items()}
         steps += 1
         if max_steps is not None and steps >= max_steps:
             return
-    tail = pool_rows()
+    tail = n_pool % batch_size
     if tail and not drop_remainder:
-        batch = draw(tail)
+        batch = {k: v[n_pool - tail:] for k, v in pool.items()}
         pad = batch_size - tail
         out = {k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                for k, v in batch.items()}
