@@ -19,6 +19,64 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _op_kind(instruction: str) -> str:
+    """Canonical kind of an HLO device event: '%slice-start.4 = ...' ->
+    'slice-start'; fusions keep the called-computation tag when present."""
+    import re
+
+    head = instruction.split(" = ", 1)[0].lstrip("%")
+    kind = re.sub(r"\.\d+$", "", head)
+    return kind
+
+
+def top_ops(trainer, state, batch, steps: int = 6, top: int = 4) -> list[dict]:
+    """Trace ``steps`` steady-state train steps and return the top device op
+    KINDS (instruction names aggregated over `.N` copies).
+
+    Returns ``[{"name", "us_per_step", "share_pct"}, ...]`` ranked by total
+    device time — the roofline-audit hook used by run_all.py to publish a
+    per-model top-op column (how AutoInt's lane-padding pathology was caught).
+    Returns [] when no device plane is found (CPU backend writes none).
+    """
+    import jax
+
+    for i in range(2):
+        state, loss = trainer._train_jit(state, batch, jax.random.key(i))
+    float(loss)
+    tmp = tempfile.mkdtemp(prefix="xprof_top_")
+    with jax.profiler.trace(tmp):
+        for i in range(steps):
+            state, loss = trainer._train_jit(
+                state, batch, jax.random.key(100 + i))
+        float(loss)
+    files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
+    if not files:
+        return []
+    data = jax.profiler.ProfileData.from_serialized_xspace(
+        open(files[0], "rb").read())
+    best: list[dict] = []
+    best_total = 0.0
+    for plane in data.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            total_by_kind: dict[str, float] = collections.defaultdict(float)
+            for ev in line.events:
+                total_by_kind[_op_kind(ev.name)] += ev.duration_ns
+            if not total_by_kind:
+                continue
+            total_ns = sum(total_by_kind.values())
+            ranked = sorted(total_by_kind.items(), key=lambda kv: -kv[1])
+            ops = [{"name": name,
+                    "us_per_step": round(ns / 1e3 / steps, 1),
+                    "share_pct": round(100 * ns / total_ns, 1)}
+                   for name, ns in ranked[:top]]
+            # keep the busiest line (the op stream, not host callbacks)
+            if total_ns > best_total:
+                best, best_total = ops, total_ns
+    return best
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="BST")

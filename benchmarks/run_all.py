@@ -21,7 +21,9 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
+def bench_model(name: str, batch_size: int, steps: int, warmup: int,
+                reps: int = 3, rep_budget_s: float = 150.0,
+                profile: bool = True) -> dict:
     import jax
 
     from recalgorithm_tpu.data.synthetic import SyntheticWeChat, SyntheticConfig
@@ -47,7 +49,7 @@ def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
                       scoped_vmem_limit_kib=getattr(
                           cfg, "scoped_vmem_limit_kib", 65536)),
     )
-    from recalgorithm_tpu.utils.benchmarking import loop_step_time_us
+    from recalgorithm_tpu.utils.benchmarking import loop_step_time_stats
 
     t0 = time.perf_counter()
     state = trainer.init_state(gen.batch(batch_size, 0))
@@ -58,15 +60,34 @@ def bench_model(name: str, batch_size: int, steps: int, warmup: int) -> dict:
     loss_finite = bool(jax.numpy.isfinite(float(loss)))
     compile_s = time.perf_counter() - t0
 
-    step_us = loop_step_time_us(trainer.train_step_fn, state, batch,
-                                compiler_options=trainer.compiler_options)
-    return {
+    # variance protocol (round 5): median ± σ over independent fresh-compile
+    # slope reps, so the table distinguishes regression from run-to-run spread
+    stats = loop_step_time_stats(
+        trainer.train_step_fn, state, batch, reps=reps,
+        time_budget_s=rep_budget_s,
+        compiler_options=trainer.compiler_options)
+    step_us = stats["median_us"]
+    eps = batch_size / step_us * 1e6
+    row = {
         "model": name,
-        "examples_per_s": round(batch_size / step_us * 1e6, 1),
+        "examples_per_s": round(eps, 1),
+        "sigma": round(eps * stats["sigma_us"] / step_us, 1),
+        "reps_us": [round(u, 1) for u in stats["reps_us"]],
         "step_us": round(step_us, 1),
         "compile_s": round(compile_s, 1),
         "loss_finite": loss_finite,
     }
+    if profile:
+        # roofline audit column: where the step's device time actually goes
+        try:
+            from benchmarks.profile_probe import top_ops
+
+            ops = top_ops(trainer, state, batch, steps=6, top=3)
+            if ops:
+                row["top_ops"] = ops
+        except Exception as e:  # profile is best-effort, never kills the row
+            row["top_ops_error"] = f"{type(e).__name__}: {e}"[:120]
+    return row
 
 
 def main():
@@ -75,6 +96,12 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--models", default=None, help="comma-separated subset")
+    p.add_argument("--reps", type=int, default=3,
+                   help="independent fresh-compile slope reps per model")
+    p.add_argument("--rep_budget_s", type=float, default=150.0,
+                   help="per-model rep time budget (>=2 reps always run)")
+    p.add_argument("--no_profile", action="store_true",
+                   help="skip the xplane top-op roofline column")
     args = p.parse_args()
 
     import jax
@@ -88,7 +115,9 @@ def main():
     rows = []
     for name in names:
         try:
-            r = bench_model(name, args.batch_size, args.steps, args.warmup)
+            r = bench_model(name, args.batch_size, args.steps, args.warmup,
+                            reps=args.reps, rep_budget_s=args.rep_budget_s,
+                            profile=not args.no_profile)
         except Exception as e:  # keep going; report the failure
             traceback.print_exc()
             r = {"model": name, "error": f"{type(e).__name__}: {e}"[:200]}
@@ -123,15 +152,20 @@ def main():
         f.write(f"# Train-step throughput ({platform}, batch {args.batch_size})\n\n")
         f.write(f"Measured {stamp['date']} at commit `{stamp['commit']}` "
                 f"(jax {stamp['jax']}).  {stamp['config']}.\n\n")
-        f.write("| model | examples/s | step (us) | compile (s) |\n|---|---|---|---|\n")
+        f.write("| model | examples/s | ±σ | step (us) | compile (s) "
+                "| top op kinds (% of device time) |\n|---|---|---|---|---|---|\n")
         for r in rows:
             if "error" in r:
-                f.write(f"| {r['model']} | ERROR: {r['error']} | | |\n")
-            else:
-                f.write(
-                    f"| {r['model']} | {r['examples_per_s']:,.0f} "
-                    f"| {r['step_us']:,.0f} | {r['compile_s']} |\n"
-                )
+                f.write(f"| {r['model']} | ERROR: {r['error']} | | | | |\n")
+                continue
+            top = ", ".join(
+                f"`{o['name'][:40]}` {o['share_pct']}%"
+                for o in r.get("top_ops", [])[:2])
+            sigma = f"{r['sigma']:,.0f}" if "sigma" in r else ""
+            f.write(
+                f"| {r['model']} | {r['examples_per_s']:,.0f} | {sigma} "
+                f"| {r['step_us']:,.0f} | {r['compile_s']} | {top} |\n"
+            )
     print(f"wrote {out_dir}/RESULTS.md")
 
 

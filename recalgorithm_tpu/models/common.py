@@ -61,6 +61,37 @@ SCALAR_CAT_FIELDS = (
 )
 
 
+def schema_fields(
+    schema: Schema, *, sequences: str | None = "mean"
+) -> list[tuple[str, str, str]]:
+    """Generic field list derived from a Schema: every categorical feature
+    as a scalar field, every sequence feature pooled (``sequences`` kind,
+    'mean'/'sum'; None drops them) — the hook that makes a model train on
+    any dataset's schema (wechat, douban, ...)."""
+    fields = [(f.name, f.vocab, "scalar") for f in schema.categorical]
+    if sequences:
+        fields += [(f.name, f.vocab, sequences) for f in schema.sequence]
+    return fields
+
+
+def reference_or_schema_fields(
+    schema: Schema, *, sequences: str | None = "mean"
+) -> list[tuple[str, str, str]]:
+    """Reference-parity fields on the WeChat schema, schema-derived fields
+    anywhere else.
+
+    The reference's per-model ``create_feature_columns()`` hand-writes the 6
+    scalar WeChat fields (e.g. deepfm.py:56-95) — models keep that exact
+    list on WeChat-shaped schemas so golden bands and parity notes stay
+    valid, and fall back to :func:`schema_fields` on any other dataset
+    (douban, future ones), making dataset support a framework property
+    rather than a per-model rewrite."""
+    names = {f.name for f in schema.categorical}
+    if set(SCALAR_CAT_FIELDS) <= names:
+        return [(n, n, "scalar") for n in SCALAR_CAT_FIELDS]
+    return schema_fields(schema, sequences=sequences)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainFlags:
     """Common training flags (reference header, wide_and_deep.py:24-39)."""

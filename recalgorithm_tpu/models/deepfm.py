@@ -6,6 +6,13 @@ sparse per-id weight sum); second order = sum-square FM pooling summed over K
 (L192-200); deep = MLP(relu -> dropout -> BN) over concatenated field
 embeddings (L203-212); logit = first + second + deep (L214).
 Baseline: read_comment AUC 0.8529998 (README.md:24).
+
+Schema-driven (round 5): on the WeChat schema the field list is the
+reference's exact 6 scalar fields (parity, golden bands unchanged); on any
+other schema (douban, ...) fields derive from the Schema itself —
+categoricals as scalar fields, sequences mean-pooled into the FM field list
+and sum-pooled into the first-order term (the multi-hot FM generalisation).
+The task defaults to the schema's first label (read_comment on WeChat).
 """
 
 from __future__ import annotations
@@ -33,25 +40,36 @@ class DeepFMConfig(common.TrainFlags):
     hidden_units: tuple[int, ...] = (512, 256, 128)
     batch_norm: bool = True
     dropout_rate: float = 0.1
-    task_names: tuple[str, ...] = ("read_comment",)
+    # () = the schema's first label (read_comment on WeChat — identical to
+    # the reference default; rating_ge_4 on douban)
+    task_names: tuple[str, ...] = ()
 
 
 class DeepFM(nn.Module):
     config: DeepFMConfig
     schema: Schema
 
+    @property
+    def tasks(self) -> tuple[str, ...]:
+        return self.config.task_names or (self.schema.labels[0],)
+
     @nn.compact
     def __call__(self, batch, train: bool = False) -> dict[str, jax.Array]:
         cfg = self.config
+        fields_spec = common.reference_or_schema_fields(self.schema)
+        # first-order over multi-hot sequence fields sums the per-id weights
+        first_spec = [(k, v, "sum" if kind == "mean" else kind)
+                      for k, v, kind in fields_spec]
         first_order = common.FirstOrderLogit(
-            schema=self.schema, fields=SCALAR_FIELDS, name="first_order"
+            schema=self.schema, fields=first_spec, name="first_order"
         )(batch)
 
         embedder = common.FieldEmbedder(
             tables=common.uniform_tables(
-                self.schema, cfg.embedding_dim, common.SCALAR_CAT_FIELDS
+                self.schema, cfg.embedding_dim,
+                sorted({v for _, v, _ in fields_spec}),
             ),
-            fields=SCALAR_FIELDS,
+            fields=fields_spec,
         )
         fields = embedder(batch)
         field_emb = common.stack_fields(fields)  # (B, F, K)
@@ -67,7 +85,7 @@ class DeepFM(nn.Module):
             name="deep",
         )(deep_in, train)[:, 0]
 
-        return {"read_comment": first_order + second_order + deep_logit}
+        return {self.tasks[0]: first_order + second_order + deep_logit}
 
 
 common.register_model("DeepFM", DeepFMConfig, DeepFM)

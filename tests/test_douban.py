@@ -117,10 +117,14 @@ def test_douban_etl_end_to_end(raw_douban):
         assert arr.max() <= schema.vocab_sizes[schema.vocab_of(name)]
 
 
-def test_douban_cli_training(raw_douban, tmp_path_factory):
-    """cli.main --dataset douban trains the schema-driven GenericDNN on the
+@pytest.mark.parametrize("model", ["GenericDNN", "DeepFM"])
+def test_douban_cli_training(raw_douban, tmp_path_factory, model):
+    """cli.main --dataset douban trains schema-driven models on the
     completed ETL's artifacts and writes a predictions.csv whose id columns
-    carry the original USER_MD5 / MOVIE_ID tokens."""
+    carry the original USER_MD5 / MOVIE_ID tokens.  GenericDNN is built
+    schema-first; DeepFM is a REFERENCE model whose field list derives from
+    the douban schema (common.reference_or_schema_fields) — dataset support
+    as a framework property, not a per-model rewrite."""
     import csv
 
     out = raw_douban
@@ -130,7 +134,7 @@ def test_douban_cli_training(raw_douban, tmp_path_factory):
     from recalgorithm_tpu.cli.main import main as cli_main
 
     final = cli_main([
-        "--model", "GenericDNN", "--dataset", "douban",
+        "--model", model, "--dataset", "douban",
         "--train_data", str(out / "tfrecord" / "train.tfrecord"),
         "--eval_data", str(out / "tfrecord" / "test.tfrecord"),
         "--vocabulary_dir", str(out / "vocabulary"),
